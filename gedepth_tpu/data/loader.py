@@ -1,0 +1,126 @@
+"""Batched host-side data loading with background prefetch.
+
+Yields numpy batches; device placement/sharding happens in the training loop
+(jax.device_put with a NamedSharding over the data axis), keeping the loader
+framework-free and multi-host deterministic: every sample is generated from
+(seed, step, position) so each host can compute exactly its shard.
+"""
+from __future__ import annotations
+
+import threading
+import queue as queue_mod
+
+import numpy as np
+
+
+def _stack_batch(samples, keys=None):
+    """Stack a list of sample dicts into a dict of (B, ...) arrays."""
+    batch = {}
+    if keys is None:
+        keys = [k for k, v in samples[0].items()
+                if isinstance(v, (np.ndarray, np.floating, float, int, np.integer))]
+    for k in keys:
+        vals = [np.asarray(s[k]) for s in samples]
+        batch[k] = np.stack(vals, axis=0)
+    return batch
+
+
+_BATCH_KEYS_TRAIN = ("img", "depth_gt", "pe_k_gt", "cam_height", "index")
+_BATCH_KEYS_EVAL = ("img", "cam_height", "index")
+
+
+class TrainLoader:
+    """Infinite iter-based loader: global batch per step, deterministic.
+
+    Args:
+      dataset: indexable returning sample dicts.
+      pipeline: Compose of transforms, called as pipeline(sample, rng).
+      global_batch: total batch size across all hosts/devices.
+      seed: base seed; sample randomness = hash(seed, step, slot).
+      shard_index / shard_count: this host's slice of the global batch
+        (multi-host: each host materialises only its rows).
+      prefetch: number of batches prepared ahead on a worker thread.
+    """
+
+    def __init__(self, dataset, pipeline, global_batch, seed=0,
+                 shard_index=0, shard_count=1, prefetch=2):
+        assert global_batch % shard_count == 0
+        self.dataset = dataset
+        self.pipeline = pipeline
+        self.global_batch = global_batch
+        self.local_batch = global_batch // shard_count
+        self.seed = seed
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self.prefetch = prefetch
+
+    def _make_batch(self, step):
+        rng_idx = np.random.default_rng(
+            np.random.SeedSequence([self.seed, step, 0xA11CE]))
+        order = rng_idx.integers(0, len(self.dataset), size=self.global_batch)
+        lo = self.shard_index * self.local_batch
+        samples = []
+        for slot in range(lo, lo + self.local_batch):
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, step, slot]))
+            sample = self.dataset[int(order[slot])]
+            sample = self.pipeline(sample, rng)
+            samples.append(sample)
+        keys = [k for k in _BATCH_KEYS_TRAIN if k in samples[0]]
+        return _stack_batch(samples, keys)
+
+    def __iter__(self):
+        q = queue_mod.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            step = 0
+            while not stop.is_set():
+                try:
+                    q.put(self._make_batch(step), timeout=0.5)
+                    step += 1
+                except queue_mod.Full:
+                    continue
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+
+class EvalLoader:
+    """Ordered eval loader with tail padding to a fixed batch size.
+
+    Yields (batch, valid) where valid marks real rows (padding repeats the
+    last sample so shapes stay static for jit; padded rows are dropped from
+    metric aggregation by the caller via batch['index']).
+    """
+
+    def __init__(self, dataset, pipeline, batch_size):
+        self.dataset = dataset
+        self.pipeline = pipeline
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return -(-len(self.dataset) // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        rng = np.random.default_rng(0)  # eval transforms must be deterministic
+        for start in range(0, n, self.batch_size):
+            idxs = list(range(start, min(start + self.batch_size, n)))
+            valid = np.zeros(self.batch_size, dtype=bool)
+            valid[:len(idxs)] = True
+            while len(idxs) < self.batch_size:
+                idxs.append(idxs[-1])
+            samples = []
+            for i in idxs:
+                sample = self.dataset[i]
+                sample = self.pipeline(sample, rng)
+                samples.append(sample)
+            keys = [k for k in _BATCH_KEYS_EVAL if k in samples[0]]
+            batch = _stack_batch(samples, keys)
+            yield batch, valid
