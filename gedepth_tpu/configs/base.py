@@ -1,0 +1,110 @@
+"""Typed experiment configuration.
+
+Replaces the reference's mmcv Config + `_base_` inheritance with plain frozen
+dataclasses: explicit, greppable, and trivially serialisable into checkpoints.
+Recipe constants mirror the shipped GEDepth configs
+(configs/depthformer/depthformer_{v,a}[_ddad].py — see SURVEY.md §2.2).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    # backbone (Swin-L defaults)
+    embed_dims: int = 192
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (6, 12, 24, 48)
+    window: int = 7
+    drop_path_rate: float = 0.3
+    # neck
+    neck_channels: Tuple[int, ...] = (64, 192, 384, 768, 1536)
+    neck_embed_dim: int = 512
+    neck_num_points: int = 8
+    # head
+    head_channels: int = 64
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    # PE subsystem
+    pe_variant: str = "adaptive"          # 'none' | 'vanilla' | 'adaptive'
+    depth_scale: float = 200.0
+    vanilla_pe_multiplier: float = 200.0  # reference hardcodes 200
+    default_cam_height: float = 1.65
+
+    def build(self):
+        from gedepth_tpu.models import GEDepth
+        return GEDepth(
+            embed_dims=self.embed_dims, depths=self.depths,
+            num_heads=self.num_heads, window=self.window,
+            drop_path_rate=self.drop_path_rate,
+            neck_channels=self.neck_channels,
+            neck_embed_dim=self.neck_embed_dim,
+            neck_num_points=self.neck_num_points,
+            head_channels=self.head_channels,
+            min_depth=self.min_depth, max_depth=self.max_depth,
+            pe_variant=self.pe_variant, depth_scale=self.depth_scale,
+            vanilla_pe_multiplier=self.vanilla_pe_multiplier,
+            default_cam_height=self.default_cam_height)
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "kitti"                # 'kitti' | 'ddad' | 'synthetic'
+    data_root: str = "data/kitti"
+    train_split: str = "splits/kitti_eigen_train.txt"
+    test_split: str = "splits/kitti_eigen_test.txt"
+    gt_depth_scale: float = 256.0         # png divisor
+    crop_size: Tuple[int, int] = (352, 704)
+    eval_size: Tuple[int, int] = (352, 1216)
+    ratio_range: Tuple[float, float] = (0.5, 2.0)
+    rotate_degree: float = 2.5
+    flip_prob: float = 0.5
+    garg_crop: bool = True
+    eigen_crop: bool = False
+    eval_flip_tta: bool = True
+    # DDAD specifics
+    ddad_resize: Optional[Tuple[int, int]] = None   # (384, 640) for DDAD
+    # synthetic fallback
+    synthetic_size: int = 64
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    max_lr: float = 1e-4
+    betas: Tuple[float, float] = (0.9, 0.999)
+    weight_decay: float = 0.01
+    warmup_iters: int = 16 * 1600
+    warmup_ratio: float = 1.0 / 1000
+    min_lr_ratio: float = 1e-8
+    grad_clip_norm: float = 35.0
+    sig_loss_weight: float = 1.0
+    slope_ce_weight: float = 0.08
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    max_iters: int = 1600 * 48
+    global_batch: int = 16                # 8 GPUs x 2 in the reference
+    eval_interval: int = 800
+    checkpoint_interval: int = 800
+    max_keep_ckpts: int = 2
+    log_interval: int = 10
+    seed: int = 0
+    save_best: str = "abs_rel"            # rule: less
+    bf16_compute: bool = True             # cast activations to bf16 on TPU
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "gedepth_adaptive_kitti"
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    work_dir: str = "work_dirs"
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)

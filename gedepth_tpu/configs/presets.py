@@ -1,0 +1,80 @@
+"""Named experiment presets mirroring the reference's shipped configs."""
+from __future__ import annotations
+
+import dataclasses
+
+from gedepth_tpu.configs.base import (
+    ModelConfig, DataConfig, OptimConfig, TrainConfig, ExperimentConfig)
+
+
+def _kitti_data():
+    return DataConfig()
+
+
+def _ddad_data():
+    return DataConfig(
+        dataset="ddad", data_root="data/DDAD",
+        train_split="splits/ddad_train_split.txt",
+        test_split="splits/ddad_val_split.txt",
+        crop_size=(384, 640), eval_size=(384, 640),
+        garg_crop=False, eigen_crop=False, eval_flip_tta=False,
+        flip_prob=0.0, ddad_resize=(384, 640))
+
+
+def _ddad_model(variant):
+    return ModelConfig(pe_variant=variant, max_depth=200.0,
+                       depth_scale=250.0, default_cam_height=1.55)
+
+
+_PRESETS = {
+    # DepthFormer-SwinL baseline (no ground embedding), KITTI
+    "depthformer_baseline_kitti": lambda: ExperimentConfig(
+        name="depthformer_baseline_kitti",
+        model=ModelConfig(pe_variant="none"), data=_kitti_data()),
+    # configs/depthformer/depthformer_v.py
+    "gedepth_vanilla_kitti": lambda: ExperimentConfig(
+        name="gedepth_vanilla_kitti",
+        model=ModelConfig(pe_variant="vanilla"), data=_kitti_data()),
+    # configs/depthformer/depthformer_a.py
+    "gedepth_adaptive_kitti": lambda: ExperimentConfig(
+        name="gedepth_adaptive_kitti",
+        model=ModelConfig(pe_variant="adaptive"), data=_kitti_data()),
+    # configs/depthformer/depthformer_v_ddad.py
+    "gedepth_vanilla_ddad": lambda: ExperimentConfig(
+        name="gedepth_vanilla_ddad", model=_ddad_model("vanilla"),
+        data=_ddad_data(),
+        optim=OptimConfig(warmup_iters=0),
+        train=TrainConfig(max_iters=38400, global_batch=32)),
+    # configs/depthformer/depthformer_a_ddad.py
+    "gedepth_adaptive_ddad": lambda: ExperimentConfig(
+        name="gedepth_adaptive_ddad", model=_ddad_model("adaptive"),
+        data=_ddad_data(),
+        optim=OptimConfig(warmup_iters=0),
+        train=TrainConfig(max_iters=38400, global_batch=32)),
+    # Swin-T smoke config on synthetic data (tests / CI / benchmarks)
+    "smoke_synthetic": lambda: ExperimentConfig(
+        name="smoke_synthetic",
+        model=ModelConfig(
+            embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
+            neck_channels=(64, 96, 192, 384, 768), neck_embed_dim=128,
+            drop_path_rate=0.1, pe_variant="adaptive"),
+        data=DataConfig(dataset="synthetic", crop_size=(96, 192),
+                        eval_size=(96, 192), synthetic_size=16),
+        optim=OptimConfig(warmup_iters=10),
+        train=TrainConfig(max_iters=50, global_batch=2, eval_interval=25,
+                          checkpoint_interval=25)),
+}
+
+
+def list_configs():
+    return sorted(_PRESETS)
+
+
+def get_config(name: str, **overrides) -> ExperimentConfig:
+    if name not in _PRESETS:
+        raise KeyError(
+            f"unknown config {name!r}; available: {', '.join(list_configs())}")
+    cfg = _PRESETS[name]()
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg

@@ -1,0 +1,120 @@
+"""GEDepth model composition: backbone -> HAHI -> PE necks -> decode head.
+
+Replaces the reference's registry-built DepthEncoderDecoder
+(depth/models/depther/encoder_decoder.py:21-274) with one flax module.
+
+PE variants:
+  * 'none'     — plain DepthFormer baseline, depth = relu(conv)+min_depth.
+  * 'vanilla'  — pe_mask = img[..., 3] * y * vanilla_pe_multiplier. The
+    reference hardcodes 200 here even when depth_scale=250 (DDAD)
+    (encoder_decoder.py:120-123); we default to 200 and make it explicit.
+  * 'adaptive' — slope-bin logits -> soft expected slope -> re-derived prior
+    (encoder_decoder.py:79-102), using per-sample camera height.
+
+Forward returns a dict so train/eval steps stay pure functions:
+  depth        (B, h/2, w/2, 1) raw fused depth (pre-clamp)
+  y            (B, H, W, 1) ground mask at input res (None for 'none')
+  slope_logits (B, H, W, 11) for the CE loss ('adaptive' only)
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gedepth_tpu.models.swin import DepthFormerSwin
+from gedepth_tpu.models.hahi import HAHINeck
+from gedepth_tpu.models.necks import LightPEMaskNeck, DynamicPENeckSoft
+from gedepth_tpu.models.heads import DenseDepthHead
+from gedepth_tpu.ops.resize import resize_bilinear
+
+SLOPE_BINS = np.linspace(-5.0, 5.0, 11).astype(np.float32)
+
+
+class GEDepth(nn.Module):
+    # backbone
+    embed_dims: int = 192
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (6, 12, 24, 48)
+    window: int = 7
+    drop_path_rate: float = 0.3
+    # neck
+    neck_channels: Sequence[int] = (64, 192, 384, 768, 1536)
+    neck_embed_dim: int = 512
+    neck_num_points: int = 8
+    # head
+    head_channels: int = 64
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    # PE
+    pe_variant: str = "adaptive"  # 'none' | 'vanilla' | 'adaptive'
+    depth_scale: float = 200.0
+    vanilla_pe_multiplier: float = 200.0
+    default_cam_height: float = 1.65
+
+    @nn.compact
+    def __call__(self, img, cam_height=None, train: bool = False):
+        assert self.pe_variant in ("none", "vanilla", "adaptive")
+        use_pe = self.pe_variant != "none"
+        B, H, W, C = img.shape
+
+        backbone = DepthFormerSwin(
+            embed_dims=self.embed_dims, depths=self.depths,
+            num_heads=self.num_heads, window=self.window,
+            drop_path_rate=self.drop_path_rate, use_pe=use_pe,
+            name="backbone")
+        feats = backbone(img, train=train)
+
+        feats = HAHINeck(
+            in_channels=self.neck_channels, out_channels=self.neck_channels,
+            embed_dim=self.neck_embed_dim, num_points=self.neck_num_points,
+            name="neck")(feats, train=train)
+
+        y = None
+        pe_mask = None
+        slope_logits = None
+        if use_pe:
+            y_small, _shared = LightPEMaskNeck(name="pe_mask_neck")(feats)
+            # F.interpolate default: align_corners=False
+            # (encoder_decoder.py:114)
+            y = resize_bilinear(y_small, (H, W), align_corners=False)
+            if self.pe_variant == "adaptive":
+                logits_small = DynamicPENeckSoft(name="dynamic_pe_neck")(feats)
+                slope_logits = resize_bilinear(logits_small, (H, W),
+                                               align_corners=False)
+                probs = jax.nn.softmax(slope_logits, axis=-1)
+                slope_deg = jnp.sum(
+                    probs * jnp.asarray(SLOPE_BINS)[None, None, None, :],
+                    axis=-1, keepdims=True)
+                slope_tan = jnp.tan(jnp.deg2rad(slope_deg))
+                pe_comput = img[..., 4:5]
+                if cam_height is None:
+                    h = jnp.full((B, 1, 1, 1), self.default_cam_height,
+                                 img.dtype)
+                else:
+                    h = cam_height.reshape(B, 1, 1, 1).astype(img.dtype)
+                a = -h / (pe_comput + 1e-8)
+                pe_offset = -h / ((a - slope_tan) + 1e-8)
+                valid = ((pe_offset > 0) &
+                         (pe_offset <= self.depth_scale)).astype(img.dtype)
+                pe_mask = pe_offset * valid * y
+            else:
+                pe_mask = img[..., 3:4] * y * self.vanilla_pe_multiplier
+
+        depth, _ = DenseDepthHead(
+            up_sample_channels=self.neck_channels,
+            channels=self.head_channels, min_depth=self.min_depth,
+            max_depth=self.max_depth, name="decode_head")(feats, pe_mask, y)
+
+        return {"depth": depth, "y": y, "slope_logits": slope_logits,
+                "pe_mask": pe_mask}
+
+    def predict_depth(self, img, cam_height=None):
+        """Inference: clamp to [min, max] depth and resize to input size
+        (encoder_decoder.py:126-139; align_corners=True from the head cfg)."""
+        out = self(img, cam_height=cam_height, train=False)
+        depth = jnp.clip(out["depth"], self.min_depth, self.max_depth)
+        return resize_bilinear(depth, img.shape[1:3], align_corners=True)

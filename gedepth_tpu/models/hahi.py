@@ -1,0 +1,211 @@
+"""HAHI neck: heterogeneous attention across conv-stem and Swin features.
+
+Re-design of the reference HAHIHeteroNeck (depth/models/necks/hahi.py:82-357):
+  * HI — deformable self-attention over the 4 flattened transformer scales,
+  * HA — deformable cross-attention with the conv-stem feature as query,
+both on top of `gedepth_tpu.ops.msda` (the TPU replacement for mmcv's CUDA
+MultiScaleDeformableAttention).
+
+Positional encodings and reference grids are static per shape and folded in
+as constants (sine PE over an all-valid mask == fixed grid tables).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gedepth_tpu.models.layers import (
+    ConvModule, sine_positional_encoding, xavier_uniform_init)
+from gedepth_tpu.ops.msda import msda_sample
+
+
+def _msda_offset_bias_init(num_heads, num_levels, num_points):
+    """Deformable-DETR sampling-offset bias: per-head unit directions scaled
+    by point rank."""
+    thetas = np.arange(num_heads, dtype=np.float64) * (2 * np.pi / num_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (h, 2)
+    grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
+    for p in range(num_points):
+        grid[:, :, p, :] *= p + 1
+    flat = grid.reshape(-1).astype(np.float32)
+
+    def init(key, shape, dtype=jnp.float32):
+        assert shape == flat.shape
+        return jnp.asarray(flat, dtype)
+
+    return init
+
+
+class MSDeformAttention(nn.Module):
+    """Deformable attention layer (query side); mmcv-compatible params."""
+    embed_dims: int = 512
+    num_heads: int = 8
+    num_levels: int = 4
+    num_points: int = 8
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, query, value, query_pos, reference_points,
+                 spatial_shapes, deterministic: bool = True):
+        """
+        query: (B, Nq, C); value: (B, Nv, C) flattened over levels.
+        query_pos: (B or 1, Nq, C) additive positional encoding.
+        reference_points: (Nq, L, 2) or (B, Nq, L, 2) normalized (x, y).
+        spatial_shapes: static tuple of (H, W) per level; sum(H*W) == Nv.
+        """
+        B, Nq, C = query.shape
+        identity = query
+        if query_pos is not None:
+            query = query + query_pos
+        h, L, P = self.num_heads, self.num_levels, self.num_points
+        head_dim = C // h
+
+        value_proj = nn.Dense(C, kernel_init=xavier_uniform_init,
+                              name="value_proj")(value)
+
+        offsets = nn.Dense(h * L * P * 2,
+                           kernel_init=nn.initializers.zeros,
+                           bias_init=_msda_offset_bias_init(h, L, P),
+                           name="sampling_offsets")(query)
+        offsets = offsets.reshape(B, Nq, h, L, P, 2)
+
+        weights = nn.Dense(h * L * P, kernel_init=nn.initializers.zeros,
+                           bias_init=nn.initializers.zeros,
+                           name="attention_weights")(query)
+        weights = jax.nn.softmax(weights.reshape(B, Nq, h, L * P), axis=-1)
+        weights = weights.reshape(B, Nq, h, L, P)
+
+        # offsets are in feature-map pixels; normalizer is (W, H) per level
+        # to match the (x, y) ordering of the locations.
+        normalizer = np.array([[w_, h_] for (h_, w_) in spatial_shapes],
+                              dtype=np.float32)  # (L, 2)
+        if reference_points.ndim == 3:
+            ref = reference_points[None, :, None, :, None, :]
+        else:
+            ref = reference_points[:, :, None, :, None, :]
+        locs = ref + offsets / jnp.asarray(normalizer)[None, None, None, :,
+                                                       None, :]
+
+        # split flattened value into per-level maps
+        levels = []
+        start = 0
+        for (H_, W_) in spatial_shapes:
+            n = H_ * W_
+            levels.append(value_proj[:, start:start + n].reshape(
+                B, H_, W_, h, head_dim))
+            start += n
+
+        out = msda_sample(levels, locs, weights)
+        out = nn.Dense(C, kernel_init=xavier_uniform_init,
+                       name="output_proj")(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return identity + out
+
+
+def _center_reference_points(spatial_shapes) -> np.ndarray:
+    """Per-pixel normalized centers across levels: (sum HW, L, 2) (x, y)."""
+    pts = []
+    for (H_, W_) in spatial_shapes:
+        ys = (np.arange(H_, dtype=np.float32) + 0.5) / H_
+        xs = (np.arange(W_, dtype=np.float32) + 0.5) / W_
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+    ref = np.concatenate(pts, axis=0)  # (N, 2)
+    L = len(spatial_shapes)
+    return np.tile(ref[:, None, :], (1, L, 1))
+
+
+class HAHINeck(nn.Module):
+    """5-scale neck: [conv stem, 4 swin scales] -> same shapes out."""
+    in_channels: Sequence[int] = (64, 192, 384, 768, 1536)
+    out_channels: Sequence[int] = (64, 192, 384, 768, 1536)
+    embed_dim: int = 512
+    num_heads: int = 8
+    num_points: int = 8
+    pos_num_feats: int = 0  # 0 -> embed_dim // 2
+    self_att: bool = True
+    cross_att: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        deterministic = not train
+        assert len(inputs) == len(self.in_channels)
+        num_feats = self.pos_num_feats or self.embed_dim // 2
+        feats = [
+            ConvModule(c_out, kernel_size=1, use_norm=True, act=nn.relu,
+                       name=f"lateral{i}")(x, train=train)
+            for i, (x, c_out) in enumerate(zip(inputs, self.out_channels))
+        ]
+        feat_conv, feats_trans = feats[0], feats[1:]
+        L = len(feats_trans)
+        spatial_shapes = tuple((f.shape[1], f.shape[2]) for f in feats_trans)
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(stddev=1.0),
+            (L, self.embed_dim))
+
+        src_flat, pos_flat = [], []
+        for i, f in enumerate(feats_trans):
+            B, H_, W_, _ = f.shape
+            proj = ConvModule(self.embed_dim, kernel_size=1, use_norm=True,
+                              act=nn.relu, name=f"trans_proj{i}")(
+                                  f, train=train)
+            src_flat.append(proj.reshape(B, H_ * W_, self.embed_dim))
+            pos = sine_positional_encoding(H_, W_, num_feats)
+            pos = jnp.asarray(pos.reshape(1, H_ * W_, -1), proj.dtype)
+            pos_flat.append(pos + level_embed[i][None, None, :])
+        src = jnp.concatenate(src_flat, axis=1)
+        pos = jnp.concatenate(pos_flat, axis=1)
+
+        ref_self = jnp.asarray(_center_reference_points(spatial_shapes))
+        if self.self_att:
+            src = MSDeformAttention(
+                self.embed_dim, self.num_heads, L, self.num_points,
+                name="self_attn")(src, src, pos, ref_self, spatial_shapes,
+                                  deterministic)
+
+        # HA: conv-stem query cross-attends into the token pyramid.
+        B, Hc, Wc, _ = feat_conv.shape
+        conv_proj = ConvModule(self.embed_dim, kernel_size=1, use_norm=True,
+                               act=nn.relu, name="conv_proj")(
+                                   feat_conv, train=train)
+        query = conv_proj.reshape(B, Hc * Wc, self.embed_dim)
+        qpos = sine_positional_encoding(Hc, Wc, num_feats)
+        qpos = jnp.asarray(qpos.reshape(1, Hc * Wc, -1), query.dtype)
+        ref_q = nn.Dense(2, kernel_init=xavier_uniform_init,
+                         bias_init=nn.initializers.zeros,
+                         name="reference_points")(qpos)
+        ref_q = jax.nn.sigmoid(ref_q)                      # (1, Nq, 2)
+        ref_q = jnp.tile(ref_q[:, :, None, :], (1, 1, L, 1))
+        ref_q = jnp.broadcast_to(ref_q, (B,) + ref_q.shape[1:])
+        if self.cross_att:
+            fused = MSDeformAttention(
+                self.embed_dim, self.num_heads, L, self.num_points,
+                name="cross_attn")(query, src, qpos, ref_q, spatial_shapes,
+                                   deterministic)
+        else:
+            fused = query
+        fused = fused.reshape(B, Hc, Wc, self.embed_dim)
+        out_conv = ConvModule(self.out_channels[0], kernel_size=3,
+                              use_norm=True, act=nn.relu, name="conv_fusion")(
+            jnp.concatenate([fused, feat_conv], axis=-1), train=train)
+
+        outs = [out_conv]
+        start = 0
+        for i, f in enumerate(feats_trans):
+            B, H_, W_, _ = f.shape
+            n = H_ * W_
+            tok = src[:, start:start + n].reshape(B, H_, W_, self.embed_dim)
+            start += n
+            merged = jnp.concatenate([f, tok], axis=-1)
+            outs.append(ConvModule(self.out_channels[i + 1], kernel_size=3,
+                                   use_norm=True, act=nn.relu,
+                                   name=f"trans_fusion{i}")(
+                merged, train=train))
+        return outs

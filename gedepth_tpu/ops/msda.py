@@ -1,0 +1,82 @@
+"""Multi-scale deformable attention sampling core (XLA).
+
+TPU-native replacement for mmcv's CUDA `MultiScaleDeformableAttention` kernel
+(used on the hot path of the HAHI neck, reference depth/models/necks/hahi.py:16,
+179-188). Semantics follow the deformable-DETR formulation:
+
+  out(b, q, h) = sum_{l, p} w[b,q,h,l,p] * bilinear(value_l[b,:,:,h,:],
+                                                     loc[b,q,h,l,p])
+
+with grid_sample(align_corners=False, padding_mode='zeros') sampling:
+pixel coords x = loc_x * W - 0.5, y = loc_y * H - 0.5; out-of-range corners
+contribute zero.
+
+The gather-based implementation below is the reference; a Pallas kernel can
+swap in behind `msda_sample` once profiled.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_gather_level(value, locs):
+    """Sample one level.
+
+    value: (B, H, W, heads, dim)
+    locs:  (B, Nq, heads, P, 2) normalized (x, y) in [0, 1]
+    returns (B, Nq, heads, P, dim)
+    """
+    B, H, W, nheads, dim = value.shape
+    _, Nq, _, P, _ = locs.shape
+
+    x = locs[..., 0] * W - 0.5
+    y = locs[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    # (B, heads, H*W, dim) for per-head gathers
+    flat = value.transpose(0, 3, 1, 2, 4).reshape(B, nheads, H * W, dim)
+
+    def corner(xi, yi, w):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        idx = yi_c * W + xi_c                        # (B, Nq, heads, P)
+        idx = idx.transpose(0, 2, 1, 3).reshape(B, nheads, Nq * P)
+        g = jnp.take_along_axis(flat, idx[..., None], axis=2)
+        g = g.reshape(B, nheads, Nq, P, dim).transpose(0, 2, 1, 3, 4)
+        w = w * inb.astype(value.dtype)
+        return g * w[..., None]
+
+    out = (corner(x0, y0, (1 - fx) * (1 - fy))
+           + corner(x0 + 1, y0, fx * (1 - fy))
+           + corner(x0, y0 + 1, (1 - fx) * fy)
+           + corner(x0 + 1, y0 + 1, fx * fy))
+    return out
+
+
+def msda_sample(value_levels, locations, weights):
+    """Weighted multi-scale deformable sampling.
+
+    Args:
+      value_levels: list of (B, H_l, W_l, heads, dim) per level.
+      locations: (B, Nq, heads, L, P, 2) normalized (x, y).
+      weights: (B, Nq, heads, L, P), already softmaxed over (L, P).
+
+    Returns:
+      (B, Nq, heads * dim)
+    """
+    B, Nq, nheads, L, P, _ = locations.shape
+    assert L == len(value_levels)
+    out = None
+    for l, v in enumerate(value_levels):
+        sampled = _bilinear_gather_level(v, locations[:, :, :, l])
+        term = jnp.einsum("bqhpd,bqhp->bqhd", sampled, weights[:, :, :, l])
+        out = term if out is None else out + term
+    dim = value_levels[0].shape[-1]
+    return out.reshape(B, Nq, nheads * dim)

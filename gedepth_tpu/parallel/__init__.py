@@ -1,0 +1,3 @@
+from gedepth_tpu.parallel.mesh import (
+    create_mesh, batch_sharding, replicated_sharding, shard_batch,
+)

@@ -1,0 +1,40 @@
+"""Device mesh and sharding layout.
+
+The model (~270M params) fits on one chip, so the production layout is pure
+data parallelism over a 1-D ("data",) mesh — the TPU-native replacement for
+the reference's DDP/NCCL stack (SURVEY.md §2.11):
+
+  * params + optimizer state: replicated,
+  * batch: sharded on axis 0,
+  * gradient all-reduce / SyncBN statistics / loss logging reductions: all
+    emitted automatically by GSPMD from these shardings (no explicit
+    collectives anywhere in model code).
+
+Multi-host: `jax.distributed.initialize()` then the same code path —
+`create_mesh` uses all global devices and each host feeds its own batch
+shard (TrainLoader shard_index/shard_count).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(mesh.axis_names[0]))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch dict, sharding axis 0 across the mesh."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,85 @@
+"""Orbax checkpointing: save/restore the TrainState pytree + config.
+
+Replaces the reference's mmcv CheckpointHook (keep-2, every 800 iters, plus
+best-abs_rel tracking — SURVEY.md §5.4).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import os.path as osp
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 2) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        osp.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True),
+    )
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int, max_to_keep: int = 2,
+                    metrics: Optional[dict] = None):
+    mgr = _manager(ckpt_dir, max_to_keep)
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state, "step": state.step}
+    mgr.save(step, args=ocp.args.StandardSave(payload),
+             metrics=metrics or {})
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):
+    """Restore into the structure of `state` (shapes/dtypes must match)."""
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step() if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    mgr.close()
+    return state.replace(params=restored["params"],
+                         batch_stats=restored["batch_stats"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])
+
+
+def save_params_only(path: str, params, batch_stats=None):
+    """Weights-only save (numpy npz of flattened pytree) for eval/release."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "params/" + "/".join(getattr(p, "key", str(p)) for p in kp)
+        flat[key] = np.asarray(leaf)
+    if batch_stats:
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(batch_stats)[0]:
+            key = "batch_stats/" + "/".join(
+                getattr(p, "key", str(p)) for p in kp)
+            flat[key] = np.asarray(leaf)
+    os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+    np.savez(path, **flat)
+
+
+def load_params_only(path: str, params_template, batch_stats_template=None):
+    """Load a save_params_only npz back into pytrees shaped like templates."""
+    data = np.load(path)
+
+    def fill(template, prefix):
+        def get(kp, leaf):
+            key = prefix + "/".join(getattr(p, "key", str(p)) for p in kp)
+            arr = data[key]
+            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
+            return jax.numpy.asarray(arr, leaf.dtype)
+        return jax.tree_util.tree_map_with_path(get, template)
+
+    params = fill(params_template, "params/")
+    stats = None
+    if batch_stats_template is not None:
+        stats = fill(batch_stats_template, "batch_stats/")
+    return params, stats

@@ -1,0 +1,104 @@
+"""Pure jit-able train / eval steps.
+
+One `jax.jit`-compiled function per phase; GSPMD handles gradient
+all-reduce, global BN statistics (SyncBN parity) and loss-scalar reduction
+from the input shardings — there are no explicit collectives here.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gedepth_tpu.models.losses import sigloss, softmax_ce_ignore
+from gedepth_tpu.ops.resize import resize_bilinear
+
+
+def make_train_step(model, sig_loss_weight: float = 1.0,
+                    slope_ce_weight: float = 0.08,
+                    sig_max_depth: Optional[float] = None,
+                    donate: bool = True):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch dict:
+      img        (B, H, W, 5|3) float32
+      depth_gt   (B, H, W) float32, 0 = invalid
+      pe_k_gt    (B, H, W) slope classes (adaptive only)
+      cam_height (B,)
+    """
+    adaptive = model.pe_variant == "adaptive"
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mutated = model.apply(
+            variables, batch["img"], batch.get("cam_height"), True,
+            rngs={"dropout": rng}, mutable=mutable)
+        new_stats = mutated.get("batch_stats", batch_stats)
+
+        gt = batch["depth_gt"][..., None]
+        depth = resize_bilinear(out["depth"], gt.shape[1:3],
+                                align_corners=True)
+        loss_depth = sig_loss_weight * sigloss(
+            depth, gt, max_depth=sig_max_depth)
+        metrics = {"loss_depth": loss_depth}
+        total = loss_depth
+        if adaptive:
+            loss_slope = slope_ce_weight * softmax_ce_ignore(
+                out["slope_logits"], batch["pe_k_gt"])
+            metrics["loss_slope"] = loss_slope
+            total = total + loss_slope
+        metrics["loss"] = total
+        return total, (new_stats, metrics)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
+
+
+def make_eval_step(model, flip_tta: bool = True):
+    """Returns eval_step(params, batch_stats, batch) -> (B, H, W) depth.
+
+    Flip TTA runs the horizontally flipped batch through the model and
+    averages the un-flipped predictions (reference encoder_decoder.py:249-274
+    + MultiScaleFlipAug). Depth is clamped to [min, max] and resized to the
+    input resolution.
+    """
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        ch = batch.get("cam_height")
+
+        def run(img):
+            out = model.apply(variables, img, ch, False)
+            d = jnp.clip(out["depth"], model.min_depth, model.max_depth)
+            return resize_bilinear(d, img.shape[1:3], align_corners=True)
+
+        img = batch["img"]
+        pred = run(img)
+        if flip_tta:
+            pred_f = run(img[:, :, ::-1, :])[:, :, ::-1, :]
+            pred = 0.5 * (pred + pred_f)
+        return pred[..., 0]
+
+    return eval_step

@@ -1,0 +1,145 @@
+"""Training-stack tests: optimizer parity, sharded train step, smoke train."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gedepth_tpu.models import GEDepth
+from gedepth_tpu.train import (
+    make_optimizer, lr_schedule, create_train_state, make_train_step,
+    make_eval_step)
+from gedepth_tpu.train.optim import decay_mask
+from gedepth_tpu.parallel import create_mesh, shard_batch, batch_sharding
+
+TINY = dict(embed_dims=16, depths=(1, 1), num_heads=(1, 2),
+            neck_channels=(16, 16, 32), neck_embed_dim=32,
+            neck_num_points=2, drop_path_rate=0.0)
+
+
+def _model():
+    return GEDepth(pe_variant="adaptive", **TINY)
+
+
+def _batch(b=8, h=32, w=48, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.standard_normal((b, h, w, 5)).astype(np.float32)
+    img[..., 4] = np.abs(img[..., 4]) * 30 + 1
+    depth = np.abs(rng.standard_normal((b, h, w))).astype(np.float32) * 10
+    depth[depth < 2] = 0.0
+    pe_k = rng.integers(0, 11, size=(b, h, w)).astype(np.float32)
+    pe_k[:, :4] = 255
+    return {"img": img, "depth_gt": depth, "pe_k_gt": pe_k,
+            "cam_height": np.full((b,), 1.65, np.float32)}
+
+
+def test_lr_schedule_warmup_and_cosine():
+    sched = lr_schedule(1e-4, max_iters=1000, warmup_iters=100,
+                        warmup_ratio=1e-3, min_lr_ratio=1e-8)
+    lr0 = float(sched(jnp.asarray(0)))
+    assert lr0 == pytest.approx(1e-4 * 1e-3, rel=1e-3)
+    lr100 = float(sched(jnp.asarray(100)))
+    # warmup done: cosine value at t=100/1000
+    want = 1e-4 * 0.5 * (1 + np.cos(np.pi * 0.1))
+    assert lr100 == pytest.approx(want, rel=1e-3)
+    lr_end = float(sched(jnp.asarray(1000)))
+    assert lr_end == pytest.approx(1e-4 * 1e-8, abs=1e-10)
+
+
+def test_decay_mask_excludes_norms_and_bias_tables():
+    model = _model()
+    batch = _batch(2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["img"]),
+                           jnp.asarray(batch["cam_height"]))
+    mask = decay_mask(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    checked_norm = checked_table = checked_conv = False
+    for kp, decayed in flat:
+        names = [getattr(p, "key", str(p)) for p in kp]
+        path = "/".join(names)
+        if "relative_position_bias_table" in path:
+            assert not decayed, path
+            checked_table = True
+        elif any(n.startswith("norm") for n in names):
+            assert not decayed, path
+            checked_norm = True
+        elif "BatchNorm" in path and ("scale" in path or "bias" in path):
+            # mmcv names ConvModule norms 'bn' -> they DO decay in the ref
+            assert decayed, path
+            checked_conv = True
+    assert checked_norm and checked_table and checked_conv
+
+
+def test_train_step_decreases_loss_sharded():
+    """8-device data-parallel smoke train on a fixed batch."""
+    model = _model()
+    mesh = create_mesh()
+    assert len(jax.devices()) == 8  # conftest forces 8 virtual cpu devices
+    batch = shard_batch(_batch(8), mesh)
+
+    tx, _ = make_optimizer(max_lr=3e-4, max_iters=60, warmup_iters=0)
+    state = create_train_state(model, tx, batch["img"], jax.random.PRNGKey(0),
+                               batch["cam_height"])
+    step = make_train_step(model, donate=False)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    last = None
+    for i in range(30):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, batch, sub)
+        if first is None:
+            first = float(metrics["loss"])
+        last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.8, (first, last)
+
+
+def test_eval_step_flip_tta_consistency():
+    model = _model()
+    batch = _batch(2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["img"]),
+                           jnp.asarray(batch["cam_height"]))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    ev = make_eval_step(model, flip_tta=True)
+    ev_plain = make_eval_step(model, flip_tta=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    pred = np.asarray(ev(params, stats, jb))
+    assert pred.shape == (2, 32, 48)
+    assert pred.min() >= model.min_depth - 1e-6
+    # TTA == mean(plain(x), unflip(plain(flip(x))))
+    plain = np.asarray(ev_plain(params, stats, jb))
+    flipped_in = dict(jb, img=jb["img"][:, :, ::-1, :])
+    plain_f = np.asarray(ev_plain(params, stats, flipped_in))[:, :, ::-1]
+    np.testing.assert_allclose(pred, 0.5 * (plain + plain_f),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gedepth_tpu.train.checkpoint import (
+        save_checkpoint, restore_checkpoint, save_params_only,
+        load_params_only)
+    model = _model()
+    batch = _batch(2)
+    tx, _ = make_optimizer(1e-4, 100, 0)
+    state = create_train_state(model, tx, jnp.asarray(batch["img"]),
+                               jax.random.PRNGKey(0),
+                               jnp.asarray(batch["cam_height"]))
+    step = make_train_step(model, donate=False)
+    state, _ = step(state, {k: jnp.asarray(v) for k, v in batch.items()},
+                    jax.random.PRNGKey(1))
+
+    save_checkpoint(str(tmp_path / "ckpt"), state, step=1)
+    blank = create_train_state(model, tx, jnp.asarray(batch["img"]),
+                               jax.random.PRNGKey(42),
+                               jnp.asarray(batch["cam_height"]))
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), blank)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # weights-only npz roundtrip
+    save_params_only(str(tmp_path / "w.npz"), state.params, state.batch_stats)
+    p2, s2 = load_params_only(str(tmp_path / "w.npz"), blank.params,
+                              blank.batch_stats)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
