@@ -1,0 +1,72 @@
+"""Benchmark: KITTI-eval-shape inference throughput of GEDepth-Adaptive.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+Protocol mirrors the reference's tools/benchmark.py (warmup then timed
+iters, device-synchronised) at the KITTI eval resolution 352x1216, flagship
+GEDepth-Adaptive (Swin-L + HAHI + adaptive PE), no flip TTA, batch 1.
+
+vs_baseline: the reference publishes no throughput figures (SURVEY.md §6).
+We normalise against an assumed 10 images/sec for the PyTorch
+DepthFormer-SwinL on one A100 (same protocol), the BASELINE.json comparison
+point; adjust ASSUMED_BASELINE_FPS when a measured number lands.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ASSUMED_BASELINE_FPS = 10.0
+BATCH = int(os.environ.get("BENCH_BATCH", "1"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
+ITERS = int(os.environ.get("BENCH_ITERS", "50"))
+HEIGHT, WIDTH = 352, 1216
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gedepth_tpu.configs import get_config
+
+    cfg = get_config("gedepth_adaptive_kitti")
+    model = cfg.model.build()
+
+    rng = np.random.default_rng(0)
+    img = rng.standard_normal((BATCH, HEIGHT, WIDTH, 5)).astype(np.float32)
+    img[..., 4] = np.abs(img[..., 4]) * 30 + 1.0
+    img = jnp.asarray(img)
+    cam_h = jnp.full((BATCH,), 1.65, jnp.float32)
+
+    variables = model.init(jax.random.PRNGKey(0), img, cam_h)
+
+    @jax.jit
+    def forward(v, x, ch):
+        return model.apply(v, x, ch, method=model.predict_depth)
+
+    out = forward(variables, img, cam_h)
+    out.block_until_ready()
+    for _ in range(WARMUP):
+        out = forward(variables, img, cam_h)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, img, cam_h)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ips = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "gedepth_adaptive_swinl_kitti_352x1216_infer",
+        "value": round(ips, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / ASSUMED_BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,9 +55,9 @@ _PRESETS = {
     "smoke_synthetic": lambda: ExperimentConfig(
         name="smoke_synthetic",
         model=ModelConfig(
-            embed_dims=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24),
-            neck_channels=(64, 96, 192, 384, 768), neck_embed_dim=128,
-            drop_path_rate=0.1, pe_variant="adaptive"),
+            embed_dims=48, depths=(1, 1, 2, 1), num_heads=(2, 4, 8, 16),
+            neck_channels=(64, 48, 96, 192, 384), neck_embed_dim=128,
+            neck_num_points=4, drop_path_rate=0.1, pe_variant="adaptive"),
         data=DataConfig(dataset="synthetic", crop_size=(96, 192),
                         eval_size=(96, 192), synthetic_size=16),
         optim=OptimConfig(warmup_iters=10),

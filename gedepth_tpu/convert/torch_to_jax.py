@@ -1,0 +1,337 @@
+"""PyTorch checkpoint -> flax pytree converter.
+
+Maps the reference's released GEDepth checkpoints (DepthEncoderDecoder state
+dicts) and official Swin ImageNet checkpoints onto our module tree, handling
+layout changes:
+  * conv weights   (O, I, kh, kw) -> (kh, kw, I, O)
+  * linear weights (O, I)         -> (I, O)
+  * BatchNorm weight/bias -> params scale/bias; running stats -> batch_stats
+  * 4th input channel of patch_embed zero-padded when the source is RGB-only
+    (reference depthformer_swin.py:1113-1123)
+
+Name mapping follows the reference module tree (SURVEY.md §2.5-2.8); our
+module names were chosen to make this a mechanical rewrite. PatchMerging
+needs no reorder: we reproduce torch-Unfold channel order natively.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth into {name: ndarray} without requiring CUDA."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("state_dict", "model"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            ckpt = ckpt[key]
+            break
+    out = {}
+    for k, v in ckpt.items():
+        if hasattr(v, "numpy"):
+            out[k[7:] if k.startswith("module.") else k] = v.numpy()
+    return out
+
+
+def swin_official_to_gedepth(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Official Swin checkpoint keys -> reference backbone keys
+    (mirrors the behavior of depth/models/utils/ckpt_convert.py swin_convert:
+    layers->stages, mlp->ffn with sequential renames, attn->attn.w_msa,
+    patch_embed.proj->projection, plus the PatchMerging unfold reorder)."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("head."):
+            continue
+        nk = k
+        nk = nk.replace("layers.", "stages.")
+        nk = nk.replace("patch_embed.proj", "patch_embed.projection")
+        nk = nk.replace("mlp.fc1", "ffn.layers.0.0")
+        nk = nk.replace("mlp.fc2", "ffn.layers.1")
+        m = re.match(r"(.*)\.attn\.(qkv|proj|relative_position_bias_table|"
+                     r"relative_position_index)(.*)", nk)
+        if m:
+            nk = f"{m.group(1)}.attn.w_msa.{m.group(2)}{m.group(3)}"
+        if "downsample.reduction.weight" in nk:
+            # official cat [x0;x1;x2;x3] position-major with positions
+            # ordered [(0,0),(1,0),(0,1),(1,1)] -> our channel-major raster
+            # order (same math as the reference's swin_convert
+            # correct_unfold_reduction_order).
+            o, i = v.shape
+            v = v.reshape(o, 4, i // 4)[:, [0, 2, 1, 3], :]
+            v = v.transpose(0, 2, 1).reshape(o, i)
+        elif "downsample.norm." in nk:
+            i = v.shape[0]
+            v = v.reshape(4, i // 4)[[0, 2, 1, 3], :]
+            v = v.transpose(1, 0).reshape(i)
+        out[nk] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reference torch name -> (flax collection, path tuple) mapping
+# ---------------------------------------------------------------------------
+
+def _conv_w(v):
+    return np.transpose(v, (2, 3, 1, 0))
+
+
+def _lin_w(v):
+    return np.transpose(v, (1, 0))
+
+
+def _map_torch_key(k: str):
+    """Return list of (collection, path, transform) for a torch key, or []
+    to drop. collection is 'params' or 'batch_stats'."""
+    # ---- backbone ----
+    m = re.match(r"backbone\.patch_embed\.projection\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("backbone", "patch_embed", "projection",
+                            "kernel" if m.group(1) == "weight" else "bias"), t)]
+    m = re.match(r"backbone\.patch_embed\.norm\.(weight|bias)$", k)
+    if m:
+        return [("params", ("backbone", "patch_embed", "norm",
+                            "scale" if m.group(1) == "weight" else "bias"),
+                 None)]
+    m = re.match(r"backbone\.stages\.(\d+)\.blocks\.(\d+)\.(.*)$", k)
+    if m:
+        i, d, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        base = ("backbone", f"stage{i}_block{d}")
+        sub = {
+            "norm1.weight": (base + ("norm1", "scale"), None),
+            "norm1.bias": (base + ("norm1", "bias"), None),
+            "norm2.weight": (base + ("norm2", "scale"), None),
+            "norm2.bias": (base + ("norm2", "bias"), None),
+            "attn.w_msa.relative_position_bias_table":
+                (base + ("attn", "relative_position_bias_table"), None),
+            "attn.w_msa.qkv.weight": (base + ("attn", "qkv", "kernel"),
+                                      _lin_w),
+            "attn.w_msa.qkv.bias": (base + ("attn", "qkv", "bias"), None),
+            "attn.w_msa.proj.weight": (base + ("attn", "proj", "kernel"),
+                                       _lin_w),
+            "attn.w_msa.proj.bias": (base + ("attn", "proj", "bias"), None),
+            "ffn.layers.0.0.weight": (base + ("ffn", "Dense_0", "kernel"),
+                                      _lin_w),
+            "ffn.layers.0.0.bias": (base + ("ffn", "Dense_0", "bias"), None),
+            "ffn.layers.1.weight": (base + ("ffn", "Dense_1", "kernel"),
+                                    _lin_w),
+            "ffn.layers.1.bias": (base + ("ffn", "Dense_1", "bias"), None),
+        }
+        if rest in sub:
+            path, t = sub[rest]
+            return [("params", path, t)]
+        if rest == "attn.w_msa.relative_position_index":
+            return []  # recomputed statically
+        return None
+    m = re.match(r"backbone\.stages\.(\d+)\.downsample\.(norm|reduction)\."
+                 r"(weight|bias)$", k)
+    if m:
+        i, which, wb = int(m.group(1)), m.group(2), m.group(3)
+        if which == "norm":
+            return [("params", ("backbone", f"downsample{i}", "norm",
+                                "scale" if wb == "weight" else "bias"), None)]
+        return [("params", ("backbone", f"downsample{i}", "reduction",
+                            "kernel"), _lin_w)]
+    m = re.match(r"backbone\.norm(\d)\.(weight|bias)$", k)
+    if m:
+        return [("params", ("backbone", f"norm{m.group(1)}",
+                            "scale" if m.group(2) == "weight" else "bias"),
+                 None)]
+    m = re.match(r"backbone\.conv1\.weight$", k)
+    if m:
+        return [("params", ("backbone", "conv_stem", "Conv_0", "kernel"),
+                 _conv_w)]
+    m = re.match(r"backbone\.bn1\.(weight|bias|running_mean|running_var)$", k)
+    if m:
+        wb = m.group(1)
+        if wb in ("weight", "bias"):
+            return [("params", ("backbone", "conv_stem", "BatchNorm_0",
+                                "scale" if wb == "weight" else "bias"), None)]
+        return [("batch_stats", ("backbone", "conv_stem", "BatchNorm_0",
+                                 "mean" if wb == "running_mean" else "var"),
+                 None)]
+    if re.match(r"backbone\.bn1\.num_batches_tracked$", k):
+        return []
+
+    # ---- ConvModule-style conv/bn leaves used by neck & heads ----
+    def convmodule(flax_base, torch_rest):
+        if torch_rest == "conv.weight":
+            return [("params", flax_base + ("Conv_0", "kernel"), _conv_w)]
+        if torch_rest == "conv.bias":
+            return [("params", flax_base + ("Conv_0", "bias"), None)]
+        if torch_rest == "bn.weight":
+            return [("params", flax_base + ("BatchNorm_0", "scale"), None)]
+        if torch_rest == "bn.bias":
+            return [("params", flax_base + ("BatchNorm_0", "bias"), None)]
+        if torch_rest == "bn.running_mean":
+            return [("batch_stats", flax_base + ("BatchNorm_0", "mean"),
+                     None)]
+        if torch_rest == "bn.running_var":
+            return [("batch_stats", flax_base + ("BatchNorm_0", "var"), None)]
+        if torch_rest == "bn.num_batches_tracked":
+            return []
+        return None
+
+    m = re.match(r"neck\.lateral_convs\.(\d+)\.(.*)$", k)
+    if m:
+        return convmodule(("neck", f"lateral{m.group(1)}"), m.group(2))
+    m = re.match(r"neck\.trans_proj\.(\d+)\.(.*)$", k)
+    if m:
+        return convmodule(("neck", f"trans_proj{m.group(1)}"), m.group(2))
+    m = re.match(r"neck\.trans_fusion\.(\d+)\.(.*)$", k)
+    if m:
+        return convmodule(("neck", f"trans_fusion{m.group(1)}"), m.group(2))
+    m = re.match(r"neck\.conv_proj\.0\.(.*)$", k)
+    if m:
+        return convmodule(("neck", "conv_proj"), m.group(1))
+    m = re.match(r"neck\.conv_fusion\.0\.(.*)$", k)
+    if m:
+        return convmodule(("neck", "conv_fusion"), m.group(1))
+    m = re.match(r"neck\.reference_points\.(weight|bias)$", k)
+    if m:
+        t = _lin_w if m.group(1) == "weight" else None
+        return [("params", ("neck", "reference_points",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    if k == "neck.level_embed":
+        return [("params", ("neck", "level_embed"), None)]
+    m = re.match(r"neck\.(self_attn|multi_att)\.(sampling_offsets|"
+                 r"attention_weights|value_proj|output_proj)\."
+                 r"(weight|bias)$", k)
+    if m:
+        mod = "self_attn" if m.group(1) == "self_attn" else "cross_attn"
+        t = _lin_w if m.group(3) == "weight" else None
+        return [("params", ("neck", mod, m.group(2),
+                            "kernel" if m.group(3) == "weight" else "bias"),
+                 t)]
+
+    # ---- PE necks ----
+    m = re.match(r"(pe_mask_neck|dynamic_pe_neck)\.conv(\d)\.(weight|bias)$",
+                 k)
+    if m:
+        t = _conv_w if m.group(3) == "weight" else None
+        return [("params", (m.group(1), "fuse", f"conv{m.group(2)}",
+                            "kernel" if m.group(3) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"(pe_mask_neck|dynamic_pe_neck)\.convfinal\.(weight|bias)$",
+                 k)
+    if m:
+        t = _conv_w if m.group(2) == "weight" else None
+        return [("params", (m.group(1), "convfinal",
+                            "kernel" if m.group(2) == "weight" else "bias"),
+                 t)]
+
+    # ---- decode head ----
+    m = re.match(r"decode_head\.conv_list\.0\.conv\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "conv0", "Conv_0",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.conv_list\.(\d+)\.(convA|convB)\.conv\."
+                 r"(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(3) == "weight" else None
+        return [("params", ("decode_head", f"up{m.group(1)}", m.group(2),
+                            "Conv_0",
+                            "kernel" if m.group(3) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.conv_depth\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "conv_depth",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    return None
+
+
+def convert_state_dict(sd: Dict[str, np.ndarray],
+                       strict: bool = False) -> Tuple[dict, dict, list]:
+    """Convert a reference-format torch state dict.
+
+    Returns (params, batch_stats, unmapped_keys) as nested dicts.
+    """
+    params: dict = {}
+    stats: dict = {}
+    unmapped = []
+    for k, v in sd.items():
+        mapped = _map_torch_key(k)
+        if mapped is None:
+            unmapped.append(k)
+            if strict:
+                raise KeyError(f"no mapping for {k}")
+            continue
+        for collection, path, transform in mapped:
+            tree = params if collection == "params" else stats
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = np.asarray(
+                transform(v) if transform else v)
+    return params, stats, unmapped
+
+
+def pad_patch_embed_for_pe(params: dict) -> dict:
+    """Zero-pad the patch-embed conv from 3 to 4 input channels
+    (reference depthformer_swin.py:1113-1123)."""
+    kern = params["backbone"]["patch_embed"]["projection"]["kernel"]
+    if kern.shape[2] == 3:
+        pad = np.zeros_like(kern[:, :, :1, :])
+        params["backbone"]["patch_embed"]["projection"]["kernel"] = (
+            np.concatenate([kern, pad], axis=2))
+    return params
+
+
+def _merge_into(template, converted, path=()):
+    """Fill template pytree leaves from converted nested dict; returns
+    (tree, missing_paths)."""
+    import jax
+
+    missing = []
+
+    def visit(kp, leaf):
+        node = converted
+        for p in kp:
+            key = getattr(p, "key", str(p))
+            if not isinstance(node, dict) or key not in node:
+                missing.append("/".join(getattr(q, "key", str(q))
+                                        for q in kp))
+                return leaf
+            node = node[key]
+        assert node.shape == leaf.shape, (
+            f"{'/'.join(getattr(q, 'key', str(q)) for q in kp)}: "
+            f"{node.shape} vs {leaf.shape}")
+        import jax.numpy as jnp
+        return jnp.asarray(node, leaf.dtype)
+
+    tree = jax.tree_util.tree_map_with_path(visit, template)
+    return tree, missing
+
+
+def convert_checkpoint_file(pth_path: str, model, example_img,
+                            example_cam_height=None, use_pe=True):
+    """Full pipeline: load .pth, convert, fit into the model's variables.
+
+    Returns (params, batch_stats, report dict).
+    """
+    import jax
+
+    sd = load_torch_checkpoint(pth_path)
+    converted_params, converted_stats, unmapped = convert_state_dict(sd)
+    if use_pe and "backbone" in converted_params:
+        try:
+            pad_patch_embed_for_pe(converted_params)
+        except KeyError:
+            pass
+    variables = model.init(jax.random.PRNGKey(0), example_img,
+                           example_cam_height)
+    params, missing_p = _merge_into(variables["params"], converted_params)
+    stats, missing_s = _merge_into(variables.get("batch_stats", {}),
+                                   converted_stats)
+    report = {"unmapped_torch_keys": unmapped,
+              "missing_params": missing_p, "missing_stats": missing_s}
+    return params, stats, report

@@ -1,0 +1,105 @@
+"""Evaluation harness: TTA inference + reference-exact metric protocol.
+
+KITTI protocol (reference kitti.py:502-552, BASELINE.md):
+  * input kb-cropped to 352x1216 (no GT crop at load; GT reloaded full-res
+    at eval), flip-TTA averaged predictions,
+  * GT kb-cropped, garg mask, range (1e-3, 80), per-image 9 metrics,
+  * nanmean aggregation over images.
+
+DDAD protocol (reference ddad.py:216-254):
+  * input resized to 384x640, no TTA,
+  * prediction bilinearly upsampled (align_corners=True) to the full-res GT,
+  * range mask only (1e-3, 200).
+
+The device side runs at fixed shapes (EvalLoader pads the tail batch); the
+per-image metric math runs in numpy for bit-parity with the reference.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from gedepth_tpu.core.metrics import (
+    masked_metrics, aggregate_metrics, eval_kb_crop, eval_crop_mask,
+    calculate_metrics)
+from gedepth_tpu.data import (
+    Compose, KBCrop, Normalize, DDADResize, EvalLoader)
+from gedepth_tpu.ops.resize import resize_bilinear
+from gedepth_tpu.train.steps import make_eval_step
+
+
+def build_test_pipeline(data_cfg):
+    """Deterministic test-time pipeline for a DataConfig."""
+    if data_cfg.dataset == "ddad":
+        return Compose([
+            DDADResize(data_cfg.ddad_resize or (384, 640), resize_gt=False),
+            Normalize(depth_scale=250.0),
+        ])
+    if data_cfg.dataset == "kitti":
+        return Compose([
+            KBCrop(*data_cfg.eval_size, crop_gt=False),
+            Normalize(depth_scale=200.0),
+        ])
+    # synthetic: already at target size
+    return Compose([Normalize(depth_scale=200.0)])
+
+
+class Evaluator:
+    def __init__(self, model, dataset, data_cfg, batch_size=1,
+                 flip_tta=None):
+        self.model = model
+        self.dataset = dataset
+        self.data_cfg = data_cfg
+        self.batch_size = batch_size
+        flip = data_cfg.eval_flip_tta if flip_tta is None else flip_tta
+        self.eval_step = make_eval_step(model, flip_tta=flip)
+        self.pipeline = build_test_pipeline(data_cfg)
+
+    def _gt_for(self, index):
+        if hasattr(self.dataset, "load_gt"):
+            return self.dataset.load_gt(index)
+        # synthetic: the sample carries its GT
+        return self.dataset[index]["depth_gt"]
+
+    def _metrics_for(self, pred, index):
+        gt = self._gt_for(index)
+        if self.data_cfg.dataset == "kitti":
+            gt = eval_kb_crop(gt, *self.data_cfg.eval_size)
+            mask = eval_crop_mask(gt, self.model.min_depth,
+                                  self.model.max_depth,
+                                  garg_crop=self.data_cfg.garg_crop,
+                                  eigen_crop=self.data_cfg.eigen_crop)
+            return calculate_metrics(gt[mask], pred[mask])
+        if self.data_cfg.dataset == "ddad":
+            # upsample pred to GT resolution, align_corners=True
+            pred_up = np.asarray(resize_bilinear(
+                pred[None, :, :, None].astype(np.float32), gt.shape,
+                align_corners=True))[0, :, :, 0]
+            mask = (gt > self.model.min_depth) & (gt < self.model.max_depth)
+            return calculate_metrics(gt[mask], pred_up[mask])
+        # synthetic: straight range mask
+        mask = eval_crop_mask(gt, self.model.min_depth, self.model.max_depth,
+                              garg_crop=self.data_cfg.garg_crop,
+                              eigen_crop=self.data_cfg.eigen_crop)
+        return calculate_metrics(gt[mask], pred[mask])
+
+    def run(self, params, batch_stats, max_images=None, progress=None):
+        import jax.numpy as jnp
+
+        loader = EvalLoader(self.dataset, self.pipeline, self.batch_size)
+        per_image = []
+        done = 0
+        for batch, valid in loader:
+            jb = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k in ("img", "cam_height")}
+            preds = np.asarray(self.eval_step(params, batch_stats, jb))
+            for row in range(preds.shape[0]):
+                if not valid[row]:
+                    continue
+                index = int(batch["index"][row])
+                per_image.append(self._metrics_for(preds[row], index))
+                done += 1
+                if progress is not None and done % progress == 0:
+                    print(f"  eval {done}/{len(self.dataset)}", flush=True)
+                if max_images is not None and done >= max_images:
+                    return aggregate_metrics(per_image), per_image
+        return aggregate_metrics(per_image), per_image

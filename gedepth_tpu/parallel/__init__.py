@@ -1,3 +1,3 @@
 from gedepth_tpu.parallel.mesh import (
-    create_mesh, batch_sharding, replicated_sharding, shard_batch,
+    create_mesh, create_mesh_for_batch, batch_sharding, replicated_sharding, shard_batch,
 )

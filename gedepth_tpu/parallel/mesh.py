@@ -26,6 +26,16 @@ def create_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def create_mesh_for_batch(global_batch: int, devices=None,
+                          axis_name: str = "data") -> Mesh:
+    """Mesh over the largest device prefix whose size divides the batch."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    while n > 1 and global_batch % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(mesh.axis_names[0]))
 

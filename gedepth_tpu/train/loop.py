@@ -1,0 +1,192 @@
+"""Iteration-based training loop.
+
+Replaces the reference's mmcv IterBasedRunner + hook stack (SURVEY.md §1 L4):
+explicit loop with periodic eval (best-abs_rel tracking, rule 'less'),
+orbax checkpointing (keep-N), JSONL text logging (tools/analyze_logs.py
+consumes it) and optional TensorBoard scalars.
+"""
+from __future__ import annotations
+
+import json
+import os
+import os.path as osp
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gedepth_tpu.configs.base import ExperimentConfig
+from gedepth_tpu.data import (
+    Compose, KBCrop, RandomRatioResize, PadToSize, RandomRotate, RandomFlip,
+    RandomCrop, ColorAug, Normalize, DDADResize, TrainLoader,
+    SyntheticGroundDataset, KittiDataset, DDADDataset)
+from gedepth_tpu.eval import Evaluator
+from gedepth_tpu.parallel import create_mesh_for_batch, shard_batch
+from gedepth_tpu.train.optim import make_optimizer
+from gedepth_tpu.train.state import create_train_state
+from gedepth_tpu.train.steps import make_train_step
+from gedepth_tpu.train.checkpoint import save_checkpoint, save_params_only
+
+
+def build_train_pipeline(cfg: ExperimentConfig):
+    d = cfg.data
+    norm_scale = cfg.model.depth_scale
+    if d.dataset == "ddad":
+        return Compose([
+            DDADResize(d.ddad_resize or (384, 640)),
+            RandomRatioResize(d.ratio_range),
+            PadToSize(*d.crop_size),
+            RandomRotate(0.5, d.rotate_degree),
+            RandomFlip(d.flip_prob),
+            RandomCrop(d.crop_size),
+            ColorAug(0.5),
+            Normalize(depth_scale=norm_scale),
+        ])
+    if d.dataset == "kitti":
+        return Compose([
+            KBCrop(*d.eval_size, crop_gt=True),
+            RandomRatioResize(d.ratio_range),
+            PadToSize(*d.eval_size),
+            RandomRotate(0.5, d.rotate_degree),
+            RandomFlip(d.flip_prob),
+            RandomCrop(d.crop_size),
+            ColorAug(0.5),
+            Normalize(depth_scale=norm_scale),
+        ])
+    # synthetic
+    return Compose([
+        RandomFlip(d.flip_prob),
+        RandomCrop(d.crop_size),
+        ColorAug(0.5),
+        Normalize(depth_scale=norm_scale),
+    ])
+
+
+def build_datasets(cfg: ExperimentConfig):
+    d = cfg.data
+    use_pe = cfg.model.pe_variant != "none"
+    adaptive = cfg.model.pe_variant == "adaptive"
+    if d.dataset == "kitti":
+        train = KittiDataset(d.data_root, d.train_split,
+                             depth_scale=d.gt_depth_scale, use_pe=use_pe,
+                             load_slope_gt=adaptive,
+                             pe_clip=cfg.model.depth_scale,
+                             min_depth=cfg.model.min_depth,
+                             max_depth=cfg.model.max_depth,
+                             garg_crop=d.garg_crop, eigen_crop=d.eigen_crop)
+        test = KittiDataset(d.data_root, d.test_split,
+                            depth_scale=d.gt_depth_scale, use_pe=use_pe,
+                            load_slope_gt=False, test_mode=True,
+                            pe_clip=cfg.model.depth_scale,
+                            min_depth=cfg.model.min_depth,
+                            max_depth=cfg.model.max_depth,
+                            garg_crop=d.garg_crop, eigen_crop=d.eigen_crop)
+    elif d.dataset == "ddad":
+        train = DDADDataset(d.data_root, d.train_split, use_pe=use_pe,
+                            load_slope_gt=adaptive,
+                            pe_clip=cfg.model.depth_scale,
+                            min_depth=cfg.model.min_depth,
+                            max_depth=cfg.model.max_depth)
+        test = DDADDataset(d.data_root, d.test_split, use_pe=use_pe,
+                           load_slope_gt=False, test_mode=True,
+                           pe_clip=cfg.model.depth_scale,
+                           min_depth=cfg.model.min_depth,
+                           max_depth=cfg.model.max_depth)
+    else:
+        h, w = d.crop_size
+        train = SyntheticGroundDataset(size=d.synthetic_size, height=h,
+                                       width=w, use_pe=use_pe,
+                                       depth_scale=cfg.model.depth_scale,
+                                       max_depth=cfg.model.max_depth)
+        eh, ew = d.eval_size
+        test = SyntheticGroundDataset(size=max(d.synthetic_size // 4, 2),
+                                      height=eh, width=ew, use_pe=use_pe,
+                                      depth_scale=cfg.model.depth_scale,
+                                      max_depth=cfg.model.max_depth, seed=1)
+    return train, test
+
+
+class JsonlLogger:
+    def __init__(self, path):
+        os.makedirs(osp.dirname(osp.abspath(path)), exist_ok=True)
+        self.f = open(path, "a")
+
+    def log(self, record: dict):
+        self.f.write(json.dumps(record) + "\n")
+        self.f.flush()
+
+
+def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
+          max_iters: Optional[int] = None, eval_max_images: Optional[int] = None,
+          resume_state=None):
+    """Run training; returns (state, best_metrics)."""
+    work_dir = work_dir or osp.join(cfg.work_dir, cfg.name)
+    os.makedirs(work_dir, exist_ok=True)
+    logger = JsonlLogger(osp.join(work_dir, "train.log.jsonl"))
+    max_iters = max_iters or cfg.train.max_iters
+
+    model = cfg.model.build()
+    train_ds, test_ds = build_datasets(cfg)
+    pipeline = build_train_pipeline(cfg)
+    loader = TrainLoader(train_ds, pipeline, cfg.train.global_batch,
+                         seed=cfg.train.seed)
+
+    mesh = create_mesh_for_batch(cfg.train.global_batch)
+    tx, schedule = make_optimizer(
+        cfg.optim.max_lr, max_iters, cfg.optim.warmup_iters,
+        cfg.optim.warmup_ratio, cfg.optim.min_lr_ratio,
+        cfg.optim.weight_decay, cfg.optim.betas, cfg.optim.grad_clip_norm)
+
+    batch_iter = iter(loader)
+    first = shard_batch(next(batch_iter), mesh)
+    if resume_state is not None:
+        state = resume_state
+    else:
+        state = create_train_state(model, tx, first["img"],
+                                   jax.random.PRNGKey(cfg.train.seed),
+                                   first.get("cam_height"))
+    train_step = make_train_step(
+        model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight)
+    evaluator = Evaluator(model, test_ds, cfg.data)
+
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+    best = {"abs_rel": float("inf")}
+    t_last = time.time()
+    step0 = int(state.step)
+    batch = first
+    for it in range(step0, max_iters):
+        rng, sub = jax.random.split(rng)
+        state, metrics = train_step(state, batch, sub)
+        if it + 1 < max_iters:
+            batch = shard_batch(next(batch_iter), mesh)
+
+        if (it + 1) % cfg.train.log_interval == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m.update(iter=it + 1, lr=float(schedule(jnp.asarray(it))),
+                     time=round(time.time() - t_last, 3), mode="train")
+            t_last = time.time()
+            logger.log(m)
+            print(f"iter {it+1}/{max_iters} loss={m['loss']:.4f} "
+                  f"lr={m['lr']:.2e}", flush=True)
+
+        is_last = (it + 1) == max_iters
+        if (it + 1) % cfg.train.eval_interval == 0 or is_last:
+            agg, _ = evaluator.run(state.params, state.batch_stats,
+                                   max_images=eval_max_images)
+            agg_rec = {k: float(v) for k, v in agg.items()}
+            agg_rec.update(iter=it + 1, mode="val")
+            logger.log(agg_rec)
+            print(f"eval @ {it+1}: abs_rel={agg['abs_rel']:.4f} "
+                  f"rmse={agg['rmse']:.3f}", flush=True)
+            if agg["abs_rel"] < best["abs_rel"]:
+                best = dict(agg_rec)
+                save_params_only(osp.join(work_dir, "best_abs_rel.npz"),
+                                 state.params, state.batch_stats)
+
+        if (it + 1) % cfg.train.checkpoint_interval == 0 or is_last:
+            save_checkpoint(osp.join(work_dir, "ckpts"), state, it + 1,
+                            cfg.train.max_keep_ckpts)
+
+    return state, best

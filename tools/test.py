@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Usage:
+  python tools/test.py <config-name> <checkpoint.npz> [--max-images N]
+      [--no-tta] [--show-dir DIR] [--format-only --format-dir DIR]
+      [--options ...]
+
+Checkpoint is a weights-only npz produced by training (best_abs_rel.npz) or
+the torch converter (tools/convert_torch_checkpoint.py). Prints the 9-metric
+table (reference tools/test.py surface).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate GEDepth-TPU")
+    parser.add_argument("config")
+    parser.add_argument("checkpoint")
+    parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument("--no-tta", action="store_true")
+    parser.add_argument("--show-dir", default=None,
+                        help="dump colorized depth maps here")
+    parser.add_argument("--format-only", action="store_true")
+    parser.add_argument("--format-dir", default="format_results")
+    parser.add_argument("--options", nargs="*", default=None)
+    args = parser.parse_args()
+
+    import numpy as np
+    import jax
+
+    from gedepth_tpu.configs import get_config
+    from gedepth_tpu.train.loop import build_datasets
+    from gedepth_tpu.train.checkpoint import load_params_only
+    from gedepth_tpu.eval import Evaluator
+    from tools.train import apply_options
+
+    cfg = get_config(args.config)
+    cfg = apply_options(cfg, args.options)
+
+    model = cfg.model.build()
+    _, test_ds = build_datasets(cfg)
+
+    # init a template then load weights
+    import jax.numpy as jnp
+    h, w = cfg.data.eval_size
+    c = 5 if cfg.model.pe_variant != "none" else 3
+    img0 = jnp.zeros((1, h, w, c), jnp.float32)
+    img0 = img0.at[..., -1].set(1.0) if c == 5 else img0
+    variables = model.init(jax.random.PRNGKey(0), img0,
+                           jnp.ones((1,), jnp.float32))
+    params, stats = load_params_only(args.checkpoint, variables["params"],
+                                     variables.get("batch_stats", {}))
+
+    evaluator = Evaluator(model, test_ds, cfg.data,
+                          batch_size=args.batch_size,
+                          flip_tta=not args.no_tta if not args.no_tta else False)
+    if args.no_tta:
+        evaluator = Evaluator(model, test_ds, cfg.data,
+                              batch_size=args.batch_size, flip_tta=False)
+
+    agg, per_image = evaluator.run(params, stats, max_images=args.max_images,
+                                   progress=50)
+
+    names = list(agg.keys())
+    widths = [max(len(n), 8) for n in names]
+    print("+" + "+".join("-" * (w + 2) for w in widths) + "+")
+    print("|" + "|".join(f" {n:>{w}} " for n, w in zip(names, widths)) + "|")
+    print("+" + "+".join("-" * (w + 2) for w in widths) + "+")
+    print("|" + "|".join(f" {agg[n]:>{w}.4f} " for n, w in zip(names, widths))
+          + "|")
+    print("+" + "+".join("-" * (w + 2) for w in widths) + "+")
+
+
+if __name__ == "__main__":
+    main()
