@@ -79,8 +79,9 @@ class KittiDataset:
         return osp.join(self.ann_dir, self.infos[idx]["depth_map"])
 
     def load_gt(self, idx):
-        return np.asarray(Image.open(self.gt_path(idx)),
-                          dtype=np.float32) / self.depth_scale
+        # native 16-bit PNG fast path with PIL fallback
+        from gedepth_tpu.utils.native import load_depth_png
+        return load_depth_png(self.gt_path(idx), self.depth_scale)
 
     def __getitem__(self, idx):
         info = self.infos[idx]

@@ -60,19 +60,8 @@ def _bilinear_gather_level(value, locs):
     return out
 
 
-def msda_sample(value_levels, locations, weights):
-    """Weighted multi-scale deformable sampling.
-
-    Args:
-      value_levels: list of (B, H_l, W_l, heads, dim) per level.
-      locations: (B, Nq, heads, L, P, 2) normalized (x, y).
-      weights: (B, Nq, heads, L, P), already softmaxed over (L, P).
-
-    Returns:
-      (B, Nq, heads * dim)
-    """
+def _msda_sample_block(value_levels, locations, weights):
     B, Nq, nheads, L, P, _ = locations.shape
-    assert L == len(value_levels)
     out = None
     for l, v in enumerate(value_levels):
         sampled = _bilinear_gather_level(v, locations[:, :, :, l])
@@ -80,3 +69,46 @@ def msda_sample(value_levels, locations, weights):
         out = term if out is None else out + term
     dim = value_levels[0].shape[-1]
     return out.reshape(B, Nq, nheads * dim)
+
+
+def msda_sample(value_levels, locations, weights, query_chunk: int = 4096):
+    """Weighted multi-scale deformable sampling.
+
+    Args:
+      value_levels: list of (B, H_l, W_l, heads, dim) per level.
+      locations: (B, Nq, heads, L, P, 2) normalized (x, y).
+      weights: (B, Nq, heads, L, P), already softmaxed over (L, P).
+      query_chunk: queries processed per scan step — bounds the
+        (chunk, heads, P, dim) gather intermediates. At eval resolution the
+        conv-stem query grid is >100k tokens; unchunked that materialises
+        multi-GB temporaries in HBM.
+
+    Returns:
+      (B, Nq, heads * dim)
+    """
+    B, Nq, nheads, L, P, _ = locations.shape
+    assert L == len(value_levels)
+    dim = value_levels[0].shape[-1]
+    if Nq <= query_chunk:
+        return _msda_sample_block(value_levels, locations, weights)
+
+    pad = (-Nq) % query_chunk
+    if pad:
+        locations = jnp.pad(locations,
+                            ((0, 0), (0, pad)) + ((0, 0),) * 4)
+        weights = jnp.pad(weights, ((0, 0), (0, pad)) + ((0, 0),) * 3)
+    nc = (Nq + pad) // query_chunk
+    locs_c = locations.reshape(B, nc, query_chunk, nheads, L, P, 2)
+    w_c = weights.reshape(B, nc, query_chunk, nheads, L, P)
+
+    def body(carry, inp):
+        loc, w = inp
+        return carry, _msda_sample_block(value_levels, loc, w)
+
+    # scan over chunks (chunk axis leading)
+    _, out = jax.lax.scan(
+        body, None,
+        (locs_c.transpose(1, 0, 2, 3, 4, 5, 6), w_c.transpose(1, 0, 2, 3, 4, 5)))
+    out = out.transpose(1, 0, 2, 3).reshape(B, nc * query_chunk,
+                                            nheads * dim)
+    return out[:, :Nq]
