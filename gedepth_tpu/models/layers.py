@@ -112,22 +112,27 @@ class Mlp(nn.Module):
 
 
 def sine_positional_encoding(h: int, w: int, num_feats: int = 256,
-                             temperature: float = 10000.0) -> np.ndarray:
+                             temperature: float = 10000.0):
     """DETR-style sine positional encoding over an (h, w) grid.
 
     Matches mmcv SinePositionalEncoding(normalize=False) on an all-valid
     mask: 1-based cumsum coordinates (reference
-    depth/utils/position_encoding.py:66-89). Returns (h, w, 2*num_feats)
-    numpy, computed once at trace time (static shapes).
+    depth/utils/position_encoding.py:66-89). Returns (h, w, 2*num_feats).
+
+    Computed with jnp ops so it materialises ON DEVICE: at eval resolution
+    the table is >200MB and embedding it as an HLO literal blows compile
+    payload limits (and bloats every executable).
     """
-    y_embed = np.arange(1, h + 1, dtype=np.float32)[:, None].repeat(w, 1)
-    x_embed = np.arange(1, w + 1, dtype=np.float32)[None, :].repeat(h, 0)
+    y_embed = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None]
+    x_embed = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :]
     dim_t = np.arange(num_feats, dtype=np.float32)
-    dim_t = temperature ** (2 * (dim_t // 2) / num_feats)
-    pos_x = x_embed[:, :, None] / dim_t
-    pos_y = y_embed[:, :, None] / dim_t
-    pos_x = np.stack([np.sin(pos_x[:, :, 0::2]), np.cos(pos_x[:, :, 1::2])],
-                     axis=3).reshape(h, w, -1)
-    pos_y = np.stack([np.sin(pos_y[:, :, 0::2]), np.cos(pos_y[:, :, 1::2])],
-                     axis=3).reshape(h, w, -1)
-    return np.concatenate([pos_y, pos_x], axis=2)
+    dim_t = jnp.asarray(temperature ** (2 * (dim_t // 2) / num_feats))
+    pos_x = x_embed[:, :, None] / dim_t          # (1, w, F)
+    pos_y = y_embed[:, :, None] / dim_t          # (h, 1, F)
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=3).reshape(1, w, num_feats)
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=3).reshape(h, 1, num_feats)
+    pos_x = jnp.broadcast_to(pos_x, (h, w, num_feats))
+    pos_y = jnp.broadcast_to(pos_y, (h, w, num_feats))
+    return jnp.concatenate([pos_y, pos_x], axis=2)

@@ -120,7 +120,7 @@ class JsonlLogger:
 
 def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
           max_iters: Optional[int] = None, eval_max_images: Optional[int] = None,
-          resume_state=None):
+          resume_state=None, load_backbone_from: Optional[str] = None):
     """Run training; returns (state, best_metrics)."""
     work_dir = work_dir or osp.join(cfg.work_dir, cfg.name)
     os.makedirs(work_dir, exist_ok=True)
@@ -147,6 +147,18 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
         state = create_train_state(model, tx, first["img"],
                                    jax.random.PRNGKey(cfg.train.seed),
                                    first.get("cam_height"))
+    if load_backbone_from:
+        # stage-1 ground-mask pretrain overlay (the reference hardcodes
+        # pretrain/pe_checkpoint.pth at tools/train.py:65-81; we make it
+        # an explicit flag)
+        from gedepth_tpu.models.pretrain import overlay_backbone
+        from gedepth_tpu.train.checkpoint import load_params_only
+        src, _ = load_params_only(
+            load_backbone_from, {"backbone": state.params["backbone"]})
+        state = state.replace(
+            params=overlay_backbone(state.params, src))
+        print(f"overlaid backbone from {load_backbone_from}", flush=True)
+
     train_step = make_train_step(
         model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight)
     evaluator = Evaluator(model, test_ds, cfg.data)
