@@ -18,3 +18,26 @@ Design notes (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache (set GEDEPTH_NO_COMPILE_CACHE=1 to
+    opt out). Swin-L at eval resolution takes tens of minutes to compile over
+    a remote-TPU tunnel; the cache makes every later process start warm."""
+    if _os.environ.get("GEDEPTH_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        path = _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               _os.path.expanduser("~/.cache/jax_comp"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

@@ -82,7 +82,10 @@ class Evaluator:
                               eigen_crop=self.data_cfg.eigen_crop)
         return calculate_metrics(gt[mask], pred[mask])
 
-    def run(self, params, batch_stats, max_images=None, progress=None):
+    def run(self, params, batch_stats, max_images=None, progress=None,
+            on_prediction=None, compute_metrics=True):
+        """Evaluate; optionally stream predictions to `on_prediction(index,
+        pred)` (used by --show-dir / --format-only dumps)."""
         import jax.numpy as jnp
 
         loader = EvalLoader(self.dataset, self.pipeline, self.batch_size)
@@ -96,10 +99,14 @@ class Evaluator:
                 if not valid[row]:
                     continue
                 index = int(batch["index"][row])
-                per_image.append(self._metrics_for(preds[row], index))
+                if on_prediction is not None:
+                    on_prediction(index, preds[row])
+                if compute_metrics:
+                    per_image.append(self._metrics_for(preds[row], index))
                 done += 1
                 if progress is not None and done % progress == 0:
                     print(f"  eval {done}/{len(self.dataset)}", flush=True)
                 if max_images is not None and done >= max_images:
-                    return aggregate_metrics(per_image), per_image
-        return aggregate_metrics(per_image), per_image
+                    return (aggregate_metrics(per_image) if per_image
+                            else {}), per_image
+        return (aggregate_metrics(per_image) if per_image else {}), per_image

@@ -1,0 +1,96 @@
+"""Model-zoo components: ResNet, Adabins, BTS, extra datasets."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gedepth_tpu.models.resnet import ResNet
+from gedepth_tpu.models.adabins import AdabinsHead
+from gedepth_tpu.models.bts import BTSHead, local_planar_guidance
+
+
+def test_resnet50_pyramid_shapes():
+    m = ResNet(depth=50)
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 24, 256), (1, 8, 12, 512), (1, 4, 6, 1024), (1, 2, 3, 2048)]
+
+
+def test_resnet18_runs():
+    m = ResNet(depth=18)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x)
+    assert outs[-1].shape == (1, 1, 1, 512)
+
+
+def test_adabins_head_output_in_depth_range():
+    head = AdabinsHead(up_sample_channels=(16, 32, 64), channels=16,
+                       n_bins=32, patch_size=4, min_depth=1e-3, max_depth=10)
+    feats = [jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 32 // (2 ** i), 48 // (2 ** i), c)).astype(np.float32))
+        for i, c in enumerate((16, 32, 64))]
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    depth, edges = head.apply(variables, feats)
+    assert depth.shape == (1, 32, 48, 1)
+    d = np.asarray(depth)
+    assert d.min() >= 1e-3 - 1e-5 and d.max() <= 10 + 1e-4
+    e = np.asarray(edges)
+    assert e.shape == (1, 33)
+    assert (np.diff(e, axis=1) >= 0).all()   # monotone bin edges
+    assert e[0, -1] == pytest.approx(10.0, rel=1e-3)
+
+
+def test_local_planar_guidance_flat_plane():
+    """A fronto-parallel plane (normal = +z, dist = d) gives depth d."""
+    B, h, w = 1, 3, 4
+    eq = np.zeros((B, h, w, 4), np.float32)
+    eq[..., 2] = 1.0   # n3 = 1
+    eq[..., 3] = 5.0   # dist
+    depth = np.asarray(local_planar_guidance(jnp.asarray(eq), 4))
+    assert depth.shape == (B, h * 4, w * 4)
+    np.testing.assert_allclose(depth, 5.0, rtol=1e-6)
+
+
+def test_bts_head_forward():
+    head = BTSHead(in_channels=(8, 16, 32, 64, 128), num_features=64,
+                   max_depth=10.0)
+    rng = np.random.default_rng(1)
+    shapes = [(1, 32, 48, 8), (1, 16, 24, 16), (1, 8, 12, 32),
+              (1, 4, 6, 64), (1, 2, 3, 128)]
+    feats = [jnp.asarray(rng.standard_normal(s).astype(np.float32))
+             for s in shapes]
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    out = head.apply(variables, feats)
+    assert out.shape == (1, 64, 96, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.asarray(out).min() >= 1e-3 - 1e-6
+
+
+def test_extra_datasets_split_parsing(tmp_path):
+    from gedepth_tpu.data.extra_datasets import (
+        NYUDataset, CustomDepthDataset)
+    from PIL import Image
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+                        ).save(img_dir / f"im{i}.png")
+        Image.fromarray(rng.integers(0, 5000, (20, 30), dtype=np.uint16)
+                        ).save(img_dir / f"d{i}.png")
+    split = tmp_path / "split.txt"
+    split.write_text("".join(f"imgs/im{i}.png imgs/d{i}.png\n"
+                             for i in range(3)))
+    ds = NYUDataset(str(tmp_path), str(split))
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["img"].shape == (20, 30, 3)
+    assert s["depth_gt"].shape == (20, 30)
+    assert s["depth_gt"].max() <= 5000 / 1000.0
+
+    cds = CustomDepthDataset(str(img_dir))
+    assert len(cds) == 6  # all pngs
+    assert cds[0]["img"].shape == (20, 30, 3)

@@ -59,13 +59,36 @@ def main():
 
     evaluator = Evaluator(model, test_ds, cfg.data,
                           batch_size=args.batch_size,
-                          flip_tta=not args.no_tta if not args.no_tta else False)
-    if args.no_tta:
-        evaluator = Evaluator(model, test_ds, cfg.data,
-                              batch_size=args.batch_size, flip_tta=False)
+                          flip_tta=False if args.no_tta else None)
+
+    on_prediction = None
+    if args.format_only or args.show_dir:
+        import os
+        from PIL import Image as PILImage
+
+        def on_prediction(index, pred):
+            name = test_ds.infos[index]["filename"].replace("/", "_")
+            stem = os.path.splitext(name)[0]
+            if args.format_only:
+                # uint16 x depth_scale export (reference format_results,
+                # kitti.py:343-346)
+                os.makedirs(args.format_dir, exist_ok=True)
+                out16 = np.clip(pred * cfg.data.gt_depth_scale, 0,
+                                65535).astype(np.uint16)
+                PILImage.fromarray(out16).save(
+                    os.path.join(args.format_dir, stem + ".png"))
+            if args.show_dir:
+                from gedepth_tpu.utils import colorize_depth
+                os.makedirs(args.show_dir, exist_ok=True)
+                PILImage.fromarray(colorize_depth(pred)).save(
+                    os.path.join(args.show_dir, stem + "_depth.png"))
 
     agg, per_image = evaluator.run(params, stats, max_images=args.max_images,
-                                   progress=50)
+                                   progress=50, on_prediction=on_prediction,
+                                   compute_metrics=not args.format_only)
+    if args.format_only:
+        print(f"wrote formatted predictions to {args.format_dir}")
+        return
 
     names = list(agg.keys())
     widths = [max(len(n), 8) for n in names]
