@@ -47,16 +47,17 @@ def main():
     def forward(v, x, ch):
         return model.apply(v, x, ch, method=model.predict_depth)
 
-    out = forward(variables, img, cam_h)
-    out.block_until_ready()
+    # NOTE: on the axon remote-TPU platform block_until_ready() can return
+    # before execution completes; a host fetch is the only reliable sync.
+    np.asarray(forward(variables, img, cam_h))
     for _ in range(WARMUP):
         out = forward(variables, img, cam_h)
-    out.block_until_ready()
+    np.asarray(out)
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, img, cam_h)
-    out.block_until_ready()
+    outs = [forward(variables, img, cam_h) for _ in range(ITERS)]
+    for o in outs:
+        np.asarray(o)  # force completion of every iteration
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt

@@ -120,11 +120,16 @@ class JsonlLogger:
 
 def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
           max_iters: Optional[int] = None, eval_max_images: Optional[int] = None,
-          resume_state=None, load_backbone_from: Optional[str] = None):
+          resume_state=None, load_backbone_from: Optional[str] = None,
+          resume_from: Optional[str] = None):
     """Run training; returns (state, best_metrics)."""
     work_dir = work_dir or osp.join(cfg.work_dir, cfg.name)
     os.makedirs(work_dir, exist_ok=True)
     logger = JsonlLogger(osp.join(work_dir, "train.log.jsonl"))
+    from gedepth_tpu.utils.tensorboard import TensorboardLogger
+    from gedepth_tpu.utils.env import collect_env
+    tb = TensorboardLogger(osp.join(work_dir, "tb"))
+    logger.log({"mode": "env", **{k: str(v) for k, v in collect_env().items()}})
     max_iters = max_iters or cfg.train.max_iters
 
     model = cfg.model.build()
@@ -147,6 +152,11 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
         state = create_train_state(model, tx, first["img"],
                                    jax.random.PRNGKey(cfg.train.seed),
                                    first.get("cam_height"))
+    if resume_from:
+        from gedepth_tpu.train.checkpoint import restore_checkpoint
+        state = restore_checkpoint(resume_from, state)
+        print(f"resumed from {resume_from} at iter {int(state.step)}",
+              flush=True)
     if load_backbone_from:
         # stage-1 ground-mask pretrain overlay (the reference hardcodes
         # pretrain/pe_checkpoint.pth at tools/train.py:65-81; we make it
@@ -180,6 +190,7 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
                      time=round(time.time() - t_last, 3), mode="train")
             t_last = time.time()
             logger.log(m)
+            tb.scalars(it + 1, m, prefix="train/")
             print(f"iter {it+1}/{max_iters} loss={m['loss']:.4f} "
                   f"lr={m['lr']:.2e}", flush=True)
 
@@ -190,6 +201,7 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             agg_rec = {k: float(v) for k, v in agg.items()}
             agg_rec.update(iter=it + 1, mode="val")
             logger.log(agg_rec)
+            tb.scalars(it + 1, agg_rec, prefix="val/")
             print(f"eval @ {it+1}: abs_rel={agg['abs_rel']:.4f} "
                   f"rmse={agg['rmse']:.3f}", flush=True)
             if agg["abs_rel"] < best["abs_rel"]:

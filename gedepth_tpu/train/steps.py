@@ -73,17 +73,26 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
 
 
-def make_eval_step(model, flip_tta: bool = True):
+def make_eval_step(model, flip_tta: bool = True, bf16: bool = False):
     """Returns eval_step(params, batch_stats, batch) -> (B, H, W) depth.
 
     Flip TTA runs the horizontally flipped batch through the model and
     averages the un-flipped predictions (reference encoder_decoder.py:249-274
     + MultiScaleFlipAug). Depth is clamped to [min, max] and resized to the
     input resolution.
+
+    bf16=True casts params and activations to bfloat16 for the forward
+    (flax layers follow input/param dtypes); output depth returns in f32.
+    Roughly halves HBM traffic on TPU at some numerical cost — validate
+    against the f32 metrics before shipping numbers.
     """
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
+        if bf16:
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+            batch = dict(batch,
+                         img=batch["img"].astype(jnp.bfloat16))
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -91,7 +100,8 @@ def make_eval_step(model, flip_tta: bool = True):
 
         def run(img):
             out = model.apply(variables, img, ch, False)
-            d = jnp.clip(out["depth"], model.min_depth, model.max_depth)
+            d = out["depth"].astype(jnp.float32)
+            d = jnp.clip(d, model.min_depth, model.max_depth)
             return resize_bilinear(d, img.shape[1:3], align_corners=True)
 
         img = batch["img"]

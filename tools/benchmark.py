@@ -70,19 +70,23 @@ def main():
         def run():
             return forward(variables, img, ch)
 
-    out = run()
-    jax.block_until_ready(out)
+    def fetch(o):
+        # axon remote TPU: block_until_ready can return early; host fetch
+        # is the reliable sync
+        return jax.tree.map(lambda t: np.asarray(t), o)
+
+    fetch(run())
     for _ in range(args.warmup):
         out = run()
-    jax.block_until_ready(out)
+    fetch(out)
 
     if args.trace_dir:
         jax.profiler.start_trace(args.trace_dir)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = run()
-    jax.block_until_ready(out)
+    outs = [run() for _ in range(args.iters)]
+    for o in outs:
+        fetch(o)
     dt = time.perf_counter() - t0
 
     if args.trace_dir:

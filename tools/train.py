@@ -52,6 +52,8 @@ def main():
     parser.add_argument("--eval-max-images", type=int, default=None)
     parser.add_argument("--load-backbone-from", default=None,
                         help="stage-1 pe-mask backbone npz overlay")
+    parser.add_argument("--resume-from", default=None,
+                        help="orbax checkpoint dir to resume (iter+optim)")
     parser.add_argument("--seed", type=int, default=None)
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() first")
@@ -80,7 +82,8 @@ def main():
     state, best = train(cfg, work_dir=args.work_dir,
                         max_iters=args.max_iters,
                         eval_max_images=args.eval_max_images,
-                        load_backbone_from=args.load_backbone_from)
+                        load_backbone_from=args.load_backbone_from,
+                        resume_from=args.resume_from)
     print("best:", {k: round(v, 4) for k, v in best.items()
                     if isinstance(v, float)})
 
