@@ -94,3 +94,57 @@ def test_extra_datasets_split_parsing(tmp_path):
     cds = CustomDepthDataset(str(img_dir))
     assert len(cds) == 6  # all pngs
     assert cds[0]["img"].shape == (20, 30, 3)
+
+
+def test_hrnet_w18_pyramid():
+    from gedepth_tpu.models.hrnet import HRNet
+    m = HRNet("w18")
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 16, 24, 18), (1, 8, 12, 36), (1, 4, 6, 72), (1, 2, 3, 144)]
+    # param count sanity: W18 trunk is ~9.6M
+    n = sum(p.size for p in jax.tree.leaves(v["params"]))
+    assert 8e6 < n < 12e6
+
+
+def test_efficientnet_b0_endpoints():
+    from gedepth_tpu.models.efficientnet import EfficientNet
+    m = EfficientNet("b0")
+    x = jnp.zeros((1, 128, 192, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 32, 48, 24), (1, 16, 24, 40), (1, 8, 12, 112), (1, 4, 6, 320)]
+
+
+def test_ddrnet_dual_resolution():
+    from gedepth_tpu.models.ddrnet import DualResNet
+    m = DualResNet()
+    x = jnp.zeros((1, 128, 192, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert outs[2].shape[1:3] == (16, 24)   # high-res output at /8
+    assert np.isfinite(np.asarray(outs[2])).all()
+
+
+def test_binsformer_head_layers():
+    from gedepth_tpu.models.binsformer import BinsFormerHead
+    rng = np.random.default_rng(0)
+    shapes = [(1, 32, 48, 8), (1, 16, 24, 16), (1, 8, 12, 32),
+              (1, 4, 6, 64), (1, 2, 3, 128)]
+    feats = [jnp.asarray(rng.standard_normal(s).astype(np.float32))
+             for s in shapes]
+    head = BinsFormerHead(in_channels=(8, 16, 32, 64, 128), conv_dim=32,
+                          n_bins=16, num_encoder_layers=1,
+                          num_decoder_layers=3, num_heads=4)
+    v = head.init(jax.random.PRNGKey(0), feats)
+    outs = head.apply(v, feats)
+    assert len(outs) == 3
+    last = outs[-1]
+    assert last["depth"].shape == (1, 32, 48, 1)
+    assert last["bin_edges"].shape == (1, 17)
+    assert last["class_logits"].shape == (1, 25)
+    e = np.asarray(last["bin_edges"])
+    assert (np.diff(e, axis=1) >= -1e-6).all()
