@@ -43,12 +43,17 @@ class DenseDepthHead(nn.Module):
     in_channels/up_sample_channels are listed coarse->fine order reversed
     from the config ([64, ..., 1536] in config == fine->coarse); internally
     we process deepest-first like the reference.
+
+    fpn=True switches to the FPN decoder variant (1x1 lateral + add-upsample
+    + 3x3 output convs; reference densedepth_head.py:53-75,103-118).
     """
     up_sample_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     channels: int = 64
     min_depth: float = 1e-3
     max_depth: float = 80.0
     align_corners: bool = True
+    fpn: bool = False
+    fpn_dim: int = 256
 
     @nn.compact
     def __call__(self, inputs, pe_mask=None, y=None):
@@ -56,12 +61,24 @@ class DenseDepthHead(nn.Module):
         up_channels = list(self.up_sample_channels)[::-1]
         feats = inputs[::-1]
         x = None
-        for i, (feat, ch) in enumerate(zip(feats, up_channels)):
-            if i == 0:
-                x = ConvModule(ch, kernel_size=1, act=None, use_bias=True,
-                               name=f"conv{i}")(feat)
-            else:
-                x = UpSampleBlock(ch, name=f"up{i}")(x, feat)
+        if self.fpn:
+            for i, feat in enumerate(feats):
+                lat = ConvModule(self.fpn_dim, kernel_size=1, act=None,
+                                 use_bias=True, name=f"lateral{i}")(feat)
+                if x is None:
+                    x = lat
+                else:
+                    x = lat + resize_bilinear(x, lat.shape[1:3],
+                                              align_corners=True)
+                x = ConvModule(self.fpn_dim, kernel_size=3, act=_leaky_relu,
+                               use_bias=True, name=f"output{i}")(x)
+        else:
+            for i, (feat, ch) in enumerate(zip(feats, up_channels)):
+                if i == 0:
+                    x = ConvModule(ch, kernel_size=1, act=None,
+                                   use_bias=True, name=f"conv{i}")(feat)
+                else:
+                    x = UpSampleBlock(ch, name=f"up{i}")(x, feat)
 
         d = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
                     kernel_init=torch_conv_kernel_init,
