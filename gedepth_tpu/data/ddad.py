@@ -16,7 +16,7 @@ import numpy as np
 from PIL import Image
 
 from gedepth_tpu.geometry.calib import DDAD_CAMERA_HEIGHTS
-from gedepth_tpu.geometry.plane import clip_pe_for_input
+from gedepth_tpu.geometry.plane import clip_pe_for_input, sanitize_pe_raw
 
 DDAD_CAMERAS = ("CAMERA_01", "CAMERA_05", "CAMERA_06", "CAMERA_09")
 
@@ -109,7 +109,7 @@ class DDADDataset:
                 DDAD_CAM_INTRINSICS_4COL[camera], dtype=np.float32),
         }
         if self.use_pe:
-            pe_raw = self._load_pe(camera)
+            pe_raw = sanitize_pe_raw(self._load_pe(camera))
             pe_in = clip_pe_for_input(pe_raw, self.pe_clip)
             sample["img"] = np.concatenate(
                 [img, pe_in[..., None], pe_raw[..., None]], axis=-1)

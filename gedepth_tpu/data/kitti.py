@@ -19,7 +19,7 @@ from PIL import Image
 
 from gedepth_tpu.geometry.calib import (
     KITTI_CAM_INTRINSICS_4COL, KITTI_CAMERA_HEIGHT)
-from gedepth_tpu.geometry.plane import clip_pe_for_input
+from gedepth_tpu.geometry.plane import clip_pe_for_input, sanitize_pe_raw
 
 
 class KittiDataset:
@@ -53,10 +53,11 @@ class KittiDataset:
                     continue
                 depth_rel = parts[1] if len(parts) > 1 else "None"
                 if depth_rel == "None":
+                    # invalid pairs are filtered in BOTH train and test mode
+                    # (this is the 652-of-697 Eigen protocol,
+                    # reference kitti.py:226-230)
                     invalid += 1
-                    if not self.test_mode:
-                        continue
-                    depth_rel = None
+                    continue
                 infos.append({"filename": parts[0], "depth_map": depth_rel})
         infos.sort(key=lambda x: x["filename"])
         self.invalid_depth_num = invalid
@@ -97,7 +98,7 @@ class KittiDataset:
                 KITTI_CAM_INTRINSICS_4COL.get(date), dtype=np.float32),
         }
         if self.use_pe:
-            pe_raw = self._load_pe(date)
+            pe_raw = sanitize_pe_raw(self._load_pe(date))
             pe_in = clip_pe_for_input(pe_raw, self.pe_clip)
             sample["img"] = np.concatenate(
                 [img, pe_in[..., None], pe_raw[..., None]], axis=-1)

@@ -15,6 +15,7 @@ from gedepth_tpu.geometry.plane import (
     slope_bin_gt,
     slope_gt_to_class,
     clip_pe_for_input,
+    sanitize_pe_raw,
 )
 
 
@@ -96,7 +97,7 @@ class SyntheticGroundDataset:
         }
         if self.use_pe:
             pe_clip = clip_pe_for_input(pe, self.depth_scale)
-            pe_raw = pe.astype(np.float32)
+            pe_raw = sanitize_pe_raw(pe)
             sample["img"] = np.concatenate(
                 [rgb, pe_clip[..., None], pe_raw[..., None]], axis=-1)
             k_img = slope_bin_gt(gt, pe, camera_height=h)

@@ -4,6 +4,7 @@ from gedepth_tpu.geometry.plane import (
     ddad_plane_embedding,
     slope_bin_gt,
     slope_to_pe_offset,
+    sanitize_pe_raw,
     SLOPE_BIN_CENTERS_DEG,
     SLOPE_IGNORE_INDEX,
     NUM_SLOPE_BINS,

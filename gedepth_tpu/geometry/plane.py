@@ -168,6 +168,18 @@ def slope_to_pe_offset(pe_comput, slope_tan, camera_height, depth_scale):
     return offset * valid, valid
 
 
+def sanitize_pe_raw(pe: np.ndarray, bound: float = 1e6) -> np.ndarray:
+    """Make the raw plane embedding finite: the analytic plane depth diverges
+    (+-inf) on the horizon line where the ray is parallel to the ground; any
+    non-finite or out-of-bound value is far outside the (0, depth_scale]
+    validity window anyway, so clamping to +-bound (and NaN -> 0) is exact
+    for the downstream offset math while keeping the tensor NaN-free for
+    interpolation."""
+    pe = np.asarray(pe, dtype=np.float32)
+    return np.nan_to_num(pe, nan=0.0, posinf=bound, neginf=-bound).clip(
+        -bound, bound)
+
+
 def clip_pe_for_input(pe: np.ndarray, max_value: float = 200.0) -> np.ndarray:
     """Input-channel PE: clip the raw plane embedding to [0, max_value].
 
