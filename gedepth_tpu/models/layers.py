@@ -136,3 +136,21 @@ def sine_positional_encoding(h: int, w: int, num_feats: int = 256,
     pos_x = jnp.broadcast_to(pos_x, (h, w, num_feats))
     pos_y = jnp.broadcast_to(pos_y, (h, w, num_feats))
     return jnp.concatenate([pos_y, pos_x], axis=2)
+
+
+class LearnedPositionalEncoding(nn.Module):
+    """Learned row/col embeddings (reference
+    depth/utils/position_encoding.py:103 and hahi.py PositionEmbeddingLearned
+    role): pos[h, w] = concat(col_embed[w], row_embed[h])."""
+    num_feats: int = 256
+    max_len: int = 50
+
+    @nn.compact
+    def __call__(self, h: int, w: int):
+        rows = self.param("row_embed", nn.initializers.uniform(1.0),
+                          (self.max_len, self.num_feats))
+        cols = self.param("col_embed", nn.initializers.uniform(1.0),
+                          (self.max_len, self.num_feats))
+        r = jnp.broadcast_to(rows[:h][:, None, :], (h, w, self.num_feats))
+        c = jnp.broadcast_to(cols[:w][None, :, :], (h, w, self.num_feats))
+        return jnp.concatenate([c, r], axis=-1)
