@@ -148,3 +148,52 @@ def test_binsformer_head_layers():
     assert last["class_logits"].shape == (1, 25)
     e = np.asarray(last["bin_edges"])
     assert (np.diff(e, axis=1) >= -1e-6).all()
+
+
+def test_pac_equals_conv_with_constant_guide():
+    from gedepth_tpu.models.experiment_heads import pixel_adaptive_conv
+    import jax.lax as lax
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 8, 10, 4)).astype(np.float32))
+    guide = jnp.ones((1, 8, 10, 3), jnp.float32)
+    kern = jnp.asarray(rng.standard_normal((3, 3, 4, 5)).astype(np.float32))
+    out = pixel_adaptive_conv(x, guide, kern)
+    ref = lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_depth_to_normals_flat_plane():
+    from gedepth_tpu.models.experiment_heads import depth_to_normals
+    d = jnp.full((1, 10, 12, 1), 5.0)
+    n = np.asarray(depth_to_normals(d, 500.0, 500.0))
+    np.testing.assert_allclose(n[..., 2], 1.0, atol=1e-6)
+
+
+def test_rmi_loss_sane():
+    from gedepth_tpu.models.rmi_loss import rmi_loss
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((1, 24, 30, 11)).astype(
+        np.float32))
+    labels = jnp.asarray(rng.integers(0, 11, (1, 24, 30)).astype(np.float32))
+    bad = float(rmi_loss(logits, labels))
+    perfect = jnp.asarray(
+        (np.eye(11)[np.asarray(labels, int)] * 20 - 10).astype(np.float32))
+    good = float(rmi_loss(perfect, labels))
+    assert np.isfinite(bad) and good < bad
+
+
+def test_cascade_seg_scaffolding():
+    from gedepth_tpu.models.segmentation import (
+        FCNHead, OCRHead, CascadeEncoderDecoderSeg)
+    from gedepth_tpu.models.resnet import ResNet
+    seg = CascadeEncoderDecoderSeg(
+        backbone=ResNet(depth=18),
+        first_head=FCNHead(channels=16, num_classes=2),
+        cascade_heads=[OCRHead(channels=16, ocr_channels=8, num_classes=2)])
+    img = jnp.zeros((1, 32, 48, 3), jnp.float32)
+    v = seg.init(jax.random.PRNGKey(0), img)
+    outs = seg.apply(v, img)
+    assert [tuple(o.shape) for o in outs] == [(1, 32, 48, 2), (1, 32, 48, 2)]
