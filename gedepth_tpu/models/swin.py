@@ -227,6 +227,7 @@ class DepthFormerSwin(nn.Module):
     drop_rate: float = 0.0
     use_pe: bool = True
     stem_channels: int = 64
+    remat: bool = True  # rematerialise blocks in the backward pass
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -245,9 +246,11 @@ class DepthFormerSwin(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total_depth).tolist()
         block_idx = 0
         channels = self.embed_dims
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2, 3))
+                     if (self.remat and train) else SwinBlock)
         for i, depth in enumerate(self.depths):
             for d in range(depth):
-                x = SwinBlock(channels, self.num_heads[i], self.window,
+                x = block_cls(channels, self.num_heads[i], self.window,
                               shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
                               drop_path=dpr[block_idx],
                               drop_rate=self.drop_rate,

@@ -79,7 +79,8 @@ def _msda_sample_block(value_levels, locations, weights):
     return out.reshape(B, Nq, nheads * dim)
 
 
-def msda_sample(value_levels, locations, weights, query_chunk: int = 4096):
+def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
+                remat: bool = True):
     """Weighted multi-scale deformable sampling.
 
     Args:
@@ -87,6 +88,10 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096):
       locations: (B, Nq, heads, L, P, 2) normalized (x, y).
       weights: (B, Nq, heads, L, P), already softmaxed over (L, P).
       query_chunk: queries processed per scan step.
+      remat: rematerialise the gathered corner tensors in the backward pass.
+        Without this, autodiff saves (chunks, B, chunk, h, P, d) x corners
+        activations — measured 130 GB for one train step at the KITTI train
+        crop — trading one extra gather pass for ~100x less live memory.
 
     Returns:
       (B, Nq, heads * dim)
@@ -94,8 +99,16 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096):
     B, Nq, nheads, L, P, _ = locations.shape
     assert L == len(value_levels)
     dim = value_levels[0].shape[-1]
+    block = _msda_sample_block
+    if remat:
+        block = jax.checkpoint(
+            lambda loc, w: _msda_sample_block(value_levels, loc, w))
+        block_full = block
+    else:
+        block_full = lambda loc, w: _msda_sample_block(value_levels, loc, w)
+
     if Nq <= query_chunk:
-        return _msda_sample_block(value_levels, locations, weights)
+        return block_full(locations, weights)
 
     pad = (-Nq) % query_chunk
     if pad:
@@ -108,7 +121,7 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096):
 
     def body(carry, inp):
         loc, w = inp
-        return carry, _msda_sample_block(value_levels, loc, w)
+        return carry, block_full(loc, w)
 
     _, out = jax.lax.scan(
         body, None,
