@@ -51,7 +51,7 @@ def main():
             make_optimizer, create_train_state, make_train_step)
         tx, _ = make_optimizer(cfg.optim.max_lr, 1000, 0)
         state = create_train_state(model, tx, img, jax.random.PRNGKey(0), ch)
-        step = make_train_step(model, donate=False)
+        step = make_train_step(model)
         batch = {
             "img": img,
             "depth_gt": jnp.abs(img[..., 0]) * 10,
