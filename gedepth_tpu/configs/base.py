@@ -24,6 +24,7 @@ class ModelConfig:
     neck_channels: Tuple[int, ...] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
     neck_num_points: int = 8
+    neck_sampling: str = "bilinear"   # 'nearest' = ~4x cheaper approximation
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -43,6 +44,7 @@ class ModelConfig:
             neck_channels=self.neck_channels,
             neck_embed_dim=self.neck_embed_dim,
             neck_num_points=self.neck_num_points,
+            neck_sampling=self.neck_sampling,
             head_channels=self.head_channels,
             min_depth=self.min_depth, max_depth=self.max_depth,
             pe_variant=self.pe_variant, depth_scale=self.depth_scale,

@@ -45,6 +45,7 @@ class GEDepth(nn.Module):
     neck_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
     neck_num_points: int = 8
+    neck_sampling: str = "bilinear"  # 'nearest' = faster approximation
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -71,6 +72,7 @@ class GEDepth(nn.Module):
         feats = HAHINeck(
             in_channels=self.neck_channels, out_channels=self.neck_channels,
             embed_dim=self.neck_embed_dim, num_points=self.neck_num_points,
+            sampling=self.neck_sampling,
             name="neck")(feats, train=train)
 
         y = None

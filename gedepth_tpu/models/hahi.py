@@ -48,6 +48,7 @@ class MSDeformAttention(nn.Module):
     num_levels: int = 4
     num_points: int = 8
     dropout: float = 0.1
+    sampling: str = "bilinear"
 
     @nn.compact
     def __call__(self, query, value, query_pos, reference_points,
@@ -100,7 +101,8 @@ class MSDeformAttention(nn.Module):
                 B, H_, W_, h, head_dim))
             start += n
 
-        out = msda_sample(levels, locs, weights)
+        out = msda_sample(levels, locs, weights,
+                          sampling=self.sampling)
         out = nn.Dense(C, kernel_init=xavier_uniform_init,
                        name="output_proj")(out)
         if self.dropout > 0:
@@ -131,6 +133,7 @@ class HAHINeck(nn.Module):
     pos_num_feats: int = 0  # 0 -> embed_dim // 2
     self_att: bool = True
     cross_att: bool = True
+    sampling: str = "bilinear"
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -167,6 +170,7 @@ class HAHINeck(nn.Module):
         if self.self_att:
             src = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
+                sampling=self.sampling,
                 name="self_attn")(src, src, pos, ref_self, spatial_shapes,
                                   deterministic)
 
@@ -187,6 +191,7 @@ class HAHINeck(nn.Module):
         if self.cross_att:
             fused = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
+                sampling=self.sampling,
                 name="cross_attn")(query, src, qpos, ref_q, spatial_shapes,
                                    deterministic)
         else:

@@ -68,11 +68,35 @@ def _bilinear_gather_level(value, locs):
     return out
 
 
-def _msda_sample_block(value_levels, locations, weights):
+def _nearest_gather_level(value, locs):
+    """Nearest-neighbour sampling: one gather per point instead of four.
+
+    Matches grid_sample(mode='nearest', align_corners=False) semantics:
+    index = floor(loc * size) clamped, zero outside. An opt-in ~4x cheaper
+    approximation of the bilinear reference ('sampling="nearest"').
+    """
+    B, H, W, nheads, dim = value.shape
+    _, Nq, _, P, _ = locs.shape
+    x = jnp.floor(locs[..., 0] * W)
+    y = jnp.floor(locs[..., 1] * H)
+    inb = (x >= 0) & (x < W) & (y >= 0) & (y < H)
+    xi = jnp.clip(x, 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(y, 0, H - 1).astype(jnp.int32)
+    flat = value.transpose(0, 3, 1, 2, 4).reshape(B, nheads, H * W, dim)
+    idx = (yi * W + xi).transpose(0, 2, 1, 3).reshape(B, nheads, Nq * P)
+    g = jnp.take_along_axis(flat, idx[..., None], axis=2)
+    g = g.reshape(B, nheads, Nq, P, dim).transpose(0, 2, 1, 3, 4)
+    return g * inb.astype(value.dtype)[..., None]
+
+
+def _msda_sample_block(value_levels, locations, weights,
+                       sampling: str = "bilinear"):
     B, Nq, nheads, L, P, _ = locations.shape
+    gather = (_bilinear_gather_level if sampling == "bilinear"
+              else _nearest_gather_level)
     out = None
     for l, v in enumerate(value_levels):
-        sampled = _bilinear_gather_level(v, locations[:, :, :, l])
+        sampled = gather(v, locations[:, :, :, l])
         term = jnp.einsum("bqhpd,bqhp->bqhd", sampled, weights[:, :, :, l])
         out = term if out is None else out + term
     dim = value_levels[0].shape[-1]
@@ -80,7 +104,7 @@ def _msda_sample_block(value_levels, locations, weights):
 
 
 def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
-                remat: bool = True):
+                remat: bool = True, sampling: str = "bilinear"):
     """Weighted multi-scale deformable sampling.
 
     Args:
@@ -92,6 +116,8 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
         Without this, autodiff saves (chunks, B, chunk, h, P, d) x corners
         activations — measured 130 GB for one train step at the KITTI train
         crop — trading one extra gather pass for ~100x less live memory.
+      sampling: 'bilinear' (reference semantics) or 'nearest' (opt-in ~4x
+        cheaper approximation; one gather per point).
 
     Returns:
       (B, Nq, heads * dim)
@@ -99,13 +125,13 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
     B, Nq, nheads, L, P, _ = locations.shape
     assert L == len(value_levels)
     dim = value_levels[0].shape[-1]
-    block = _msda_sample_block
     if remat:
-        block = jax.checkpoint(
-            lambda loc, w: _msda_sample_block(value_levels, loc, w))
-        block_full = block
+        block_full = jax.checkpoint(
+            lambda loc, w: _msda_sample_block(value_levels, loc, w,
+                                              sampling))
     else:
-        block_full = lambda loc, w: _msda_sample_block(value_levels, loc, w)
+        block_full = lambda loc, w: _msda_sample_block(value_levels, loc, w,
+                                                       sampling)
 
     if Nq <= query_chunk:
         return block_full(locations, weights)

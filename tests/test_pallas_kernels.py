@@ -61,3 +61,33 @@ def test_pe_fusion_pallas_parity_and_grads():
         logits)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_msda_nearest_matches_grid_sample():
+    """nearest sampling mode == grid_sample(mode='nearest', zeros pad)."""
+    import torch
+    import torch.nn.functional as F
+    from gedepth_tpu.ops.msda import msda_sample
+
+    rng = np.random.default_rng(3)
+    B, H, W, heads, dim, Nq, P = 1, 9, 13, 2, 4, 17, 5
+    value = rng.standard_normal((B, H, W, heads, dim)).astype(np.float32)
+    locs = rng.uniform(0.05, 0.95, size=(B, Nq, heads, 1, P, 2)).astype(
+        np.float32)
+    weights = rng.uniform(0, 1, size=(B, Nq, heads, 1, P)).astype(np.float32)
+
+    got = np.asarray(msda_sample([jnp.asarray(value)], jnp.asarray(locs),
+                                 jnp.asarray(weights), sampling="nearest"))
+
+    v_t = torch.from_numpy(
+        value.transpose(0, 3, 4, 1, 2).reshape(B * heads, dim, H, W))
+    grid = torch.from_numpy(locs[:, :, :, 0] * 2 - 1)
+    grid = grid.permute(0, 2, 1, 3, 4).reshape(B * heads, Nq, P, 2)
+    sampled = F.grid_sample(v_t, grid, mode="nearest",
+                            padding_mode="zeros", align_corners=False)
+    w_t = torch.from_numpy(weights[:, :, :, 0])
+    w_t = w_t.permute(0, 2, 1, 3).reshape(B * heads, 1, Nq, P)
+    want = (sampled * w_t).sum(-1)
+    want = want.reshape(B, heads, dim, Nq).permute(0, 3, 1, 2)
+    want = want.reshape(B, Nq, heads * dim).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
