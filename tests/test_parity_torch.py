@@ -397,3 +397,75 @@ def _convmodule_name(torch_base, names, shape):
     stat = {"scale": "weight", "bias": "bias", "mean": "running_mean",
             "var": "running_var"}[leaf]
     return (f"{torch_base}.bn.{stat}", shape)
+
+
+def test_vit_official_conversion_parity():
+    """Official-ViT naming -> our VisionTransformer: converted weights
+    reproduce a textbook torch ViT's tokens."""
+    from gedepth_tpu.convert.vit_official import convert_vit_official
+    from gedepth_tpu.models.vit import VisionTransformer
+
+    torch.manual_seed(0)
+    C, heads, blocks, P, grid = 32, 4, 2, 8, 3
+
+    mods = []
+    for _ in range(blocks):
+        blk = nn.Module()
+        blk.norm1 = nn.LayerNorm(C, eps=1e-6)
+        blk.attn_qkv = nn.Linear(C, 3 * C)
+        blk.attn_proj = nn.Linear(C, C)
+        blk.norm2 = nn.LayerNorm(C, eps=1e-6)
+        blk.fc1 = nn.Linear(C, 4 * C)
+        blk.fc2 = nn.Linear(4 * C, C)
+        mods.append(blk)
+    cls_token = torch.zeros(1, 1, C)
+    pos_embed = torch.randn(1, grid * grid + 1, C) * 0.02
+    patch_proj = nn.Conv2d(3, C, P, stride=P)
+
+    def torch_fwd(x):
+        B = x.shape[0]
+        x = patch_proj(x).flatten(2).transpose(1, 2)
+        x = x + pos_embed[:, 1:]
+        cls = (cls_token + pos_embed[:, :1]).expand(B, -1, -1)
+        x = torch.cat([cls, x], 1)
+        for blk in mods:
+            y = blk.norm1(x)
+            qkv = blk.attn_qkv(y).reshape(
+                B, -1, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            a = ((q @ k.transpose(-2, -1)) * (C // heads) ** -0.5).softmax(-1)
+            y = (a @ v).transpose(1, 2).reshape(B, -1, C)
+            x = x + blk.attn_proj(y)
+            x = x + blk.fc2(F.gelu(blk.fc1(blk.norm2(x))))
+        return x
+
+    img = torch.randn(1, 3, grid * P, grid * P)
+    with torch.no_grad():
+        want = torch_fwd(img).numpy()
+
+    sd = {"cls_token": cls_token.numpy(), "pos_embed": pos_embed.numpy(),
+          "patch_embed.proj.weight": patch_proj.weight.detach().numpy(),
+          "patch_embed.proj.bias": patch_proj.bias.detach().numpy()}
+    for i, blk in enumerate(mods):
+        p = f"blocks.{i}."
+        sd[p + "norm1.weight"] = blk.norm1.weight.detach().numpy()
+        sd[p + "norm1.bias"] = blk.norm1.bias.detach().numpy()
+        sd[p + "norm2.weight"] = blk.norm2.weight.detach().numpy()
+        sd[p + "norm2.bias"] = blk.norm2.bias.detach().numpy()
+        sd[p + "attn.qkv.weight"] = blk.attn_qkv.weight.detach().numpy()
+        sd[p + "attn.qkv.bias"] = blk.attn_qkv.bias.detach().numpy()
+        sd[p + "attn.proj.weight"] = blk.attn_proj.weight.detach().numpy()
+        sd[p + "attn.proj.bias"] = blk.attn_proj.bias.detach().numpy()
+        sd[p + "mlp.fc1.weight"] = blk.fc1.weight.detach().numpy()
+        sd[p + "mlp.fc1.bias"] = blk.fc1.bias.detach().numpy()
+        sd[p + "mlp.fc2.weight"] = blk.fc2.weight.detach().numpy()
+        sd[p + "mlp.fc2.bias"] = blk.fc2.bias.detach().numpy()
+
+    params = convert_vit_official(sd, num_heads=heads, num_blocks=blocks)
+    vit = VisionTransformer(embed_dims=C, depth=blocks, num_heads=heads,
+                            patch_size=P, out_indices=(0, 1),
+                            pretrain_grid=grid)
+    img_j = jnp.asarray(img.numpy().transpose(0, 2, 3, 1))
+    tokens, hw = vit.apply({"params": params}, img_j)[-1]
+    np.testing.assert_allclose(np.asarray(tokens), want, rtol=1e-4,
+                               atol=1e-5)
