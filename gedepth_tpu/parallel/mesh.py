@@ -48,3 +48,16 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch dict, sharding axis 0 across the mesh."""
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard NHWC images over the WIDTH axis (sequence/spatial parallelism).
+
+    For images too large for one chip's HBM at eval, place the input with
+    this sharding and run the ordinary jitted forward: GSPMD propagates the
+    spatial partition through convs (halo exchanges), window attention and
+    the neck, inserting collectives automatically — verified numerically
+    equal to the replicated forward on an 8-device mesh (SURVEY.md §5.7:
+    spatial sharding of the HxW grid is this model family's honest analogue
+    of sequence parallelism)."""
+    return NamedSharding(mesh, P(None, None, mesh.axis_names[0], None))

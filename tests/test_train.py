@@ -143,3 +143,26 @@ def test_checkpoint_roundtrip(tmp_path):
                               blank.batch_stats)
     for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spatial_sharding_matches_replicated():
+    """GSPMD width-axis sharding of the eval forward == replicated run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gedepth_tpu.parallel import create_mesh, spatial_sharding
+
+    model = _model()
+    rng_np = np.random.default_rng(0)
+    img = rng_np.standard_normal((1, 32, 64, 5)).astype(np.float32)
+    img[..., 4] = np.abs(img[..., 4]) * 30 + 1
+    ch = np.full((1,), 1.65, np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(ch))
+
+    mesh = create_mesh()
+    img_s = jax.device_put(jnp.asarray(img), spatial_sharding(mesh))
+    v_r = jax.device_put(v, NamedSharding(mesh, P()))
+    ch_r = jax.device_put(jnp.asarray(ch), NamedSharding(mesh, P()))
+    fwd = jax.jit(lambda vv, x, c: model.apply(vv, x, c,
+                                               method=model.predict_depth))
+    out_s = np.asarray(fwd(v_r, img_s, ch_r))
+    out_r = np.asarray(fwd(v, jnp.asarray(img), jnp.asarray(ch)))
+    np.testing.assert_allclose(out_s, out_r, rtol=1e-4, atol=1e-4)
