@@ -5,9 +5,9 @@ over the 4-channel RGBP input at stride 4 (reference
 depth/models/backbones/depthformer_swin.py:753-1184, GEDepth config
 num_stages=0 so the stem is conv7x7-BN-ReLU only).
 
-Window attention runs through `gedepth_tpu.ops.window_attention`, which
-dispatches to a Pallas flash-window kernel on TPU with an XLA einsum
-reference everywhere else.
+Window attention runs through `gedepth_tpu.ops.window_attention` (XLA
+einsum path; a parity-verified Pallas kernel exists in ops/pallas but XLA's
+fused lowering measured faster at Swin-L scale — see NOTES.md).
 
 Outputs (multi-scale pyramid):
   [stem (H/2, 64ch), stage1 (H/4, C), stage2 (H/8, 2C),
