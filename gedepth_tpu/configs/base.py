@@ -14,6 +14,13 @@ from typing import Optional, Sequence, Tuple
 
 @dataclass(frozen=True)
 class ModelConfig:
+    # architecture family: 'gedepth' (DepthFormer+HAHI+PE) or a zoo arch
+    # ('adabins' | 'bts' | 'dpt' | 'binsformer' | 'densedepth')
+    arch: str = "gedepth"
+    backbone_variant: str = ""        # zoo: resnet depth / efficientnet size
+    backbone_embed_dims: int = 0      # zoo: 0 = arch default
+    backbone_depth: int = 0           # zoo: 0 = arch default
+    n_bins: int = 256                 # zoo: adabins/binsformer bins
     # backbone (Swin-L defaults)
     embed_dims: int = 192
     depths: Tuple[int, ...] = (2, 2, 18, 2)
@@ -24,7 +31,10 @@ class ModelConfig:
     neck_channels: Tuple[int, ...] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
     neck_num_points: int = 8
-    neck_sampling: str = "bilinear"   # 'nearest' = ~4x cheaper approximation
+    # 'bilinear' (reference semantics) | 'nearest' | 'windowed' (TPU-native
+    # dense fast mode; see gedepth_tpu/ops/msda.py)
+    neck_sampling: str = "bilinear"
+    neck_window_radius: int = 4
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -36,6 +46,15 @@ class ModelConfig:
     default_cam_height: float = 1.65
 
     def build(self):
+        if self.arch != "gedepth":
+            from gedepth_tpu.models.zoo import ZooDepther
+            return ZooDepther(
+                arch=self.arch, backbone_variant=self.backbone_variant,
+                backbone_embed_dims=self.backbone_embed_dims,
+                backbone_depth=self.backbone_depth,
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                head_channels=self.head_channels, n_bins=self.n_bins,
+                default_cam_height=self.default_cam_height)
         from gedepth_tpu.models import GEDepth
         return GEDepth(
             embed_dims=self.embed_dims, depths=self.depths,
@@ -45,6 +64,7 @@ class ModelConfig:
             neck_embed_dim=self.neck_embed_dim,
             neck_num_points=self.neck_num_points,
             neck_sampling=self.neck_sampling,
+            neck_window_radius=self.neck_window_radius,
             head_channels=self.head_channels,
             min_depth=self.min_depth, max_depth=self.max_depth,
             pe_variant=self.pe_variant, depth_scale=self.depth_scale,

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -29,9 +27,8 @@ from gedepth_tpu.models.swin import DepthFormerSwin
 from gedepth_tpu.models.hahi import HAHINeck
 from gedepth_tpu.models.necks import LightPEMaskNeck, DynamicPENeckSoft
 from gedepth_tpu.models.heads import DenseDepthHead
+from gedepth_tpu.ops.pallas.pe_fusion import pe_fusion_xla
 from gedepth_tpu.ops.resize import resize_bilinear
-
-SLOPE_BINS = np.linspace(-5.0, 5.0, 11).astype(np.float32)
 
 
 class GEDepth(nn.Module):
@@ -45,7 +42,10 @@ class GEDepth(nn.Module):
     neck_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
     neck_num_points: int = 8
-    neck_sampling: str = "bilinear"  # 'nearest' = faster approximation
+    # 'bilinear' (reference semantics) | 'nearest' (cheap approximation) |
+    # 'windowed' (TPU-native dense mode, see ops/msda.py)
+    neck_sampling: str = "bilinear"
+    neck_window_radius: int = 4
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -73,6 +73,7 @@ class GEDepth(nn.Module):
             in_channels=self.neck_channels, out_channels=self.neck_channels,
             embed_dim=self.neck_embed_dim, num_points=self.neck_num_points,
             sampling=self.neck_sampling,
+            window_radius=self.neck_window_radius,
             name="neck")(feats, train=train)
 
         y = None
@@ -87,22 +88,14 @@ class GEDepth(nn.Module):
                 logits_small = DynamicPENeckSoft(name="dynamic_pe_neck")(feats)
                 slope_logits = resize_bilinear(logits_small, (H, W),
                                                align_corners=False)
-                probs = jax.nn.softmax(slope_logits, axis=-1)
-                slope_deg = jnp.sum(
-                    probs * jnp.asarray(SLOPE_BINS)[None, None, None, :],
-                    axis=-1, keepdims=True)
-                slope_tan = jnp.tan(jnp.deg2rad(slope_deg))
-                pe_comput = img[..., 4:5]
                 if cam_height is None:
-                    h = jnp.full((B, 1, 1, 1), self.default_cam_height,
-                                 img.dtype)
+                    h = jnp.full((B,), self.default_cam_height, img.dtype)
                 else:
-                    h = cam_height.reshape(B, 1, 1, 1).astype(img.dtype)
-                a = -h / (pe_comput + 1e-8)
-                pe_offset = -h / ((a - slope_tan) + 1e-8)
-                valid = ((pe_offset > 0) &
-                         (pe_offset <= self.depth_scale)).astype(img.dtype)
-                pe_mask = pe_offset * valid * y
+                    h = cam_height.reshape(B).astype(img.dtype)
+                # one canonical fusion implementation (ops.pallas.pe_fusion)
+                pe_mask = pe_fusion_xla(slope_logits, img[..., 4],
+                                        y[..., 0], h,
+                                        self.depth_scale)[..., None]
             else:
                 pe_mask = img[..., 3:4] * y * self.vanilla_pe_multiplier
 

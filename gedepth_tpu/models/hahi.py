@@ -20,18 +20,18 @@ import flax.linen as nn
 
 from gedepth_tpu.models.layers import (
     ConvModule, sine_positional_encoding, xavier_uniform_init)
-from gedepth_tpu.ops.msda import msda_sample
+from gedepth_tpu.ops.msda import msda_sample, msda_sample_windowed
 
 
-def _msda_offset_bias_init(num_heads, num_levels, num_points):
+def _msda_offset_bias_init(num_heads, num_levels, num_points, scale=1.0):
     """Deformable-DETR sampling-offset bias: per-head unit directions scaled
-    by point rank."""
+    by point rank (x `scale`; windowed mode rescales to fill its window)."""
     thetas = np.arange(num_heads, dtype=np.float64) * (2 * np.pi / num_heads)
     grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (h, 2)
     grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
     grid = np.tile(grid[:, None, None, :], (1, num_levels, num_points, 1))
     for p in range(num_points):
-        grid[:, :, p, :] *= p + 1
+        grid[:, :, p, :] *= (p + 1) * scale
     flat = grid.reshape(-1).astype(np.float32)
 
     def init(key, shape, dtype=jnp.float32):
@@ -42,22 +42,33 @@ def _msda_offset_bias_init(num_heads, num_levels, num_points):
 
 
 class MSDeformAttention(nn.Module):
-    """Deformable attention layer (query side); mmcv-compatible params."""
+    """Deformable attention layer (query side); mmcv-compatible params.
+
+    sampling='windowed' is the TPU-native dense mode (see ops/msda.py):
+    reference points are the queries' own grid centers, offsets are bounded
+    to +-window_radius level pixels, and sampling is gather-free. It
+    requires `query_shapes` — the query token set as one or more row-major
+    grids (one grid per query level)."""
     embed_dims: int = 512
     num_heads: int = 8
     num_levels: int = 4
     num_points: int = 8
     dropout: float = 0.1
     sampling: str = "bilinear"
+    window_radius: int = 4
 
     @nn.compact
     def __call__(self, query, value, query_pos, reference_points,
-                 spatial_shapes, deterministic: bool = True):
+                 spatial_shapes, deterministic: bool = True,
+                 query_shapes=None):
         """
         query: (B, Nq, C); value: (B, Nv, C) flattened over levels.
         query_pos: (B or 1, Nq, C) additive positional encoding.
-        reference_points: (Nq, L, 2) or (B, Nq, L, 2) normalized (x, y).
+        reference_points: (Nq, L, 2) or (B, Nq, L, 2) normalized (x, y);
+          ignored in windowed mode (grid centers are implied).
         spatial_shapes: static tuple of (H, W) per level; sum(H*W) == Nv.
+        query_shapes: static tuple of (H, W) query grids, required for
+          windowed mode; sum(H*W) == Nq.
         """
         B, Nq, C = query.shape
         identity = query
@@ -65,13 +76,16 @@ class MSDeformAttention(nn.Module):
             query = query + query_pos
         h, L, P = self.num_heads, self.num_levels, self.num_points
         head_dim = C // h
+        windowed = self.sampling == "windowed"
 
         value_proj = nn.Dense(C, kernel_init=xavier_uniform_init,
                               name="value_proj")(value)
 
+        bias_scale = self.window_radius / P if windowed else 1.0
         offsets = nn.Dense(h * L * P * 2,
                            kernel_init=nn.initializers.zeros,
-                           bias_init=_msda_offset_bias_init(h, L, P),
+                           bias_init=_msda_offset_bias_init(
+                               h, L, P, scale=bias_scale),
                            name="sampling_offsets")(query)
         offsets = offsets.reshape(B, Nq, h, L, P, 2)
 
@@ -80,17 +94,6 @@ class MSDeformAttention(nn.Module):
                            name="attention_weights")(query)
         weights = jax.nn.softmax(weights.reshape(B, Nq, h, L * P), axis=-1)
         weights = weights.reshape(B, Nq, h, L, P)
-
-        # offsets are in feature-map pixels; normalizer is (W, H) per level
-        # to match the (x, y) ordering of the locations.
-        normalizer = np.array([[w_, h_] for (h_, w_) in spatial_shapes],
-                              dtype=np.float32)  # (L, 2)
-        if reference_points.ndim == 3:
-            ref = reference_points[None, :, None, :, None, :]
-        else:
-            ref = reference_points[:, :, None, :, None, :]
-        locs = ref + offsets / jnp.asarray(normalizer)[None, None, None, :,
-                                                       None, :]
 
         # split flattened value into per-level maps
         levels = []
@@ -101,8 +104,35 @@ class MSDeformAttention(nn.Module):
                 B, H_, W_, h, head_dim))
             start += n
 
-        out = msda_sample(levels, locs, weights,
-                          sampling=self.sampling)
+        if windowed:
+            assert query_shapes is not None, \
+                "windowed sampling needs the query grid(s)"
+            R = float(self.window_radius)
+            off_px = R * jnp.tanh(offsets / R)
+            outs = []
+            start = 0
+            for (Hq, Wq) in query_shapes:
+                n = Hq * Wq
+                outs.append(msda_sample_windowed(
+                    levels, off_px[:, start:start + n],
+                    weights[:, start:start + n], (Hq, Wq),
+                    radius=self.window_radius))
+                start += n
+            assert start == Nq
+            out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        else:
+            # offsets are in feature-map pixels; normalizer is (W, H) per
+            # level to match the (x, y) ordering of the locations.
+            normalizer = np.array([[w_, h_] for (h_, w_) in spatial_shapes],
+                                  dtype=np.float32)  # (L, 2)
+            if reference_points.ndim == 3:
+                ref = reference_points[None, :, None, :, None, :]
+            else:
+                ref = reference_points[:, :, None, :, None, :]
+            locs = ref + offsets / jnp.asarray(normalizer)[None, None, None,
+                                                           :, None, :]
+            out = msda_sample(levels, locs, weights,
+                              sampling=self.sampling)
         out = nn.Dense(C, kernel_init=xavier_uniform_init,
                        name="output_proj")(out)
         if self.dropout > 0:
@@ -134,6 +164,7 @@ class HAHINeck(nn.Module):
     self_att: bool = True
     cross_att: bool = True
     sampling: str = "bilinear"
+    window_radius: int = 4
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -166,13 +197,18 @@ class HAHINeck(nn.Module):
         src = jnp.concatenate(src_flat, axis=1)
         pos = jnp.concatenate(pos_flat, axis=1)
 
-        ref_self = jnp.asarray(_center_reference_points(spatial_shapes))
+        windowed = self.sampling == "windowed"
+        # self-attention reference points ARE the grid centers, so windowed
+        # mode changes only the offset bounding for the HI stage.
+        ref_self = (None if windowed
+                    else jnp.asarray(_center_reference_points(spatial_shapes)))
         if self.self_att:
             src = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
-                sampling=self.sampling,
+                sampling=self.sampling, window_radius=self.window_radius,
                 name="self_attn")(src, src, pos, ref_self, spatial_shapes,
-                                  deterministic)
+                                  deterministic,
+                                  query_shapes=spatial_shapes)
 
         # HA: conv-stem query cross-attends into the token pyramid.
         B, Hc, Wc, _ = feat_conv.shape
@@ -182,18 +218,24 @@ class HAHINeck(nn.Module):
         query = conv_proj.reshape(B, Hc * Wc, self.embed_dim)
         qpos = sine_positional_encoding(Hc, Wc, num_feats)
         qpos = jnp.asarray(qpos.reshape(1, Hc * Wc, -1), query.dtype)
-        ref_q = nn.Dense(2, kernel_init=xavier_uniform_init,
-                         bias_init=nn.initializers.zeros,
-                         name="reference_points")(qpos)
-        ref_q = jax.nn.sigmoid(ref_q)                      # (1, Nq, 2)
-        ref_q = jnp.tile(ref_q[:, :, None, :], (1, 1, L, 1))
-        ref_q = jnp.broadcast_to(ref_q, (B,) + ref_q.shape[1:])
+        if windowed:
+            # grid centers replace sigmoid(Linear(qpos)) — qpos is a
+            # constant, so the reference's learned points cannot be
+            # content-dependent anyway; the grid is the TPU-native choice.
+            ref_q = None
+        else:
+            ref_q = nn.Dense(2, kernel_init=xavier_uniform_init,
+                             bias_init=nn.initializers.zeros,
+                             name="reference_points")(qpos)
+            ref_q = jax.nn.sigmoid(ref_q)                  # (1, Nq, 2)
+            ref_q = jnp.tile(ref_q[:, :, None, :], (1, 1, L, 1))
+            ref_q = jnp.broadcast_to(ref_q, (B,) + ref_q.shape[1:])
         if self.cross_att:
             fused = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
-                sampling=self.sampling,
+                sampling=self.sampling, window_radius=self.window_radius,
                 name="cross_attn")(query, src, qpos, ref_q, spatial_shapes,
-                                   deterministic)
+                                   deterministic, query_shapes=((Hc, Wc),))
         else:
             fused = query
         fused = fused.reshape(B, Hc, Wc, self.embed_dim)

@@ -7,19 +7,23 @@ grid_sample(align_corners=False, padding_mode='zeros') sampling:
 pixel coords x = loc_x * W - 0.5, y = loc_y * H - 0.5; out-of-range corners
 contribute zero.
 
-Performance notes (measured on TPU v5e at KITTI eval resolution):
-  * per-level take_along_axis with query chunking (this implementation) is
-    the fastest XLA formulation found so far: full model 1.37 s/img at
-    352x1216.
-  * a "flatten everything into one gather" variant (single jnp.take over the
-    level/head concat with corner weights folded in) wins an isolated
-    microbenchmark 8x but LOSES 1.6x in the real model — materialising the
-    (B, Nq, h, L, P, 4) index/weight tensors (~900MB at cross-attention
-    scale) swamps the gather saving. Kept in git history (d69febf) for
-    reference.
-  * chunking bounds the gather intermediates; the cross-attention query grid
-    is >100k tokens at eval resolution and unchunked would materialise
-    multi-GB temporaries.
+Two implementations, selected by `impl`:
+
+  * "flat" (default): every (level, point, corner) sample becomes one row
+    index into a single (B*heads*HW_total, dim) table and the whole chunk is
+    served by ONE `jnp.take(axis=0)` — XLA's fastest TPU gather form (no
+    batch dims to serialize over). Bilinear corner weights fold into the
+    attention weights so the gather result reduces with one einsum over
+    J = L*P*4 taps. Index/weight tensors are computed INSIDE the scan body,
+    so only one chunk's worth (~30 MB) is ever live — round-1's version of
+    this idea materialized them for all queries up front (~900 MB at
+    cross-attention scale) and lost the gather win to HBM traffic.
+  * "per_level": four per-level take_along_axis corner gathers; kept as the
+    parity/readability reference and for numerical cross-checks.
+
+Query chunking bounds the gather intermediates (the cross-attention query
+grid is >100k tokens at eval resolution; unchunked it materialises multi-GB
+temporaries).
 """
 from __future__ import annotations
 
@@ -29,6 +33,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
+# ---------------------------------------------------------------------------
+# per-level reference implementation
+# ---------------------------------------------------------------------------
 
 def _bilinear_gather_level(value, locs):
     """Sample one level.
@@ -103,8 +111,211 @@ def _msda_sample_block(value_levels, locations, weights,
     return out.reshape(B, Nq, nheads * dim)
 
 
+# ---------------------------------------------------------------------------
+# windowed (dense, gather-free) implementation — TPU-native fast mode
+# ---------------------------------------------------------------------------
+#
+# TPU has no efficient arbitrary gather: XLA's gather lowering measures far
+# below HBM bandwidth at MSDA shapes (NOTES.md), and Mosaic only exposes a
+# 128-lane dynamic shuffle. The TPU-native formulation instead BOUNDS the
+# sampling offsets to a +-radius pixel window around each query's own grid
+# position and enumerates the (2R+2)^2 integer taps of that window: each tap
+# is a dense shifted slice of the value map (pure pad/slice/repeat — no
+# gather at all), weighted by the per-query bilinear tap weight and
+# accumulated on the VPU. Cost is taps * Nq * h * d FMAs instead of
+# Nq * h * P * 4 random 256-byte reads.
+#
+# Semantics (documented design change vs the reference's unbounded mmcv
+# MSDA, opt-in via neck_sampling='windowed'):
+#   * reference points are the query's own grid center (the deformable-DETR
+#     encoder convention) instead of sigmoid(Linear(query_pos));
+#   * offsets are smoothly bounded to [-radius, +radius] level pixels by
+#     radius * tanh(raw / radius) (identity near 0, so mmcv's grid-like
+#     offset-bias init is preserved for small p).
+# Within the window the sampling is EXACT bilinear (same corner math as the
+# reference); out-of-image taps contribute zero (grid_sample zeros padding).
+
+
+def _axis_anchor_residual(nq: int, nv: int):
+    """Anchor (int) and residual (float) of each query center on a value
+    axis: center = (i + 0.5) * nv/nq - 0.5 = anchor + residual."""
+    q = (np.arange(nq, dtype=np.float64) + 0.5) * (nv / nq) - 0.5
+    a = np.floor(q).astype(np.int64)
+    return a, (q - a).astype(np.float32)
+
+
+def _windowed_level(value, off, w, query_hw, radius: int):
+    """One (query grid, value level) pair.
+
+    value: (B, Hv, Wv, h, d); off: (B, Nq, h, P, 2) level-pixel offsets in
+    [-radius, radius]; w: (B, Nq, h, P). Returns (B, Nq, h, d).
+    """
+    B, Hv, Wv, h, d = value.shape
+    Hq, Wq = query_hw
+    R = radius
+    pad = R + 2
+
+    ay, ry = _axis_anchor_residual(Hq, Hv)
+    ax, rx = _axis_anchor_residual(Wq, Wv)
+
+    off = off.reshape(B, Hq, Wq, h, -1, 2)
+    P = off.shape[4]
+    w = w.reshape(B, Hq, Wq, h, P)
+
+    # sample position relative to the anchor, in (-R, R + 1)
+    ty = jnp.asarray(ry)[None, :, None, None, None] + off[..., 1]
+    tx = jnp.asarray(rx)[None, None, :, None, None] + off[..., 0]
+    y0 = jnp.floor(ty)
+    x0 = jnp.floor(tx)
+    fy = (ty - y0).astype(value.dtype)
+    fx = (tx - x0).astype(value.dtype)
+    y0 = y0.astype(jnp.int32)                     # in [-R, R]
+    x0 = x0.astype(jnp.int32)
+
+    # per-tap separable weights: wy[dy] = (dy==y0)(1-fy) + (dy==y0+1)fy
+    taps = np.arange(-R, R + 2, dtype=np.int32)
+    tgrid = jnp.asarray(taps)[None, None, None, None, None, :]
+    wy = ((tgrid == y0[..., None]).astype(value.dtype) * (1 - fy[..., None])
+          + (tgrid == (y0 + 1)[..., None]).astype(value.dtype)
+          * fy[..., None])                        # (B,Hq,Wq,h,P,Ty)
+    wx = ((tgrid == x0[..., None]).astype(value.dtype) * (1 - fx[..., None])
+          + (tgrid == (x0 + 1)[..., None]).astype(value.dtype)
+          * fx[..., None])
+
+    # zero-padding semantics: row/col selections below clamp into the padded
+    # value, and pad >= R+2 guarantees every (anchor + tap) lands on a real
+    # or zero row — no masking needed.
+    vp = jnp.pad(value, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+
+    # fold attention weight into the separable y weight once
+    wyp = wy * w[..., None]                       # (B,Hq,Wq,h,P,Ty)
+
+    out = jnp.zeros((B, Hq, Wq, h, d), value.dtype)
+    for i, dy in enumerate(taps):
+        rows = np.clip(ay + dy + pad, 0, Hv + 2 * pad - 1)
+        vrow = jnp.take(vp, jnp.asarray(rows), axis=1)
+        wyi = jnp.sum(wyp[..., i:i + 1] * wx, axis=4)   # (B,Hq,Wq,h,Tx)
+        for j, dx in enumerate(taps):
+            cols = np.clip(ax + dx + pad, 0, Wv + 2 * pad - 1)
+            vtap = jnp.take(vrow, jnp.asarray(cols), axis=2)
+            out = out + vtap * wyi[..., j:j + 1]
+    return out.reshape(B, Hq * Wq, h, d)
+
+
+def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
+                         radius: int = 4, remat: bool = True):
+    """Dense windowed multi-scale deformable sampling.
+
+    Args:
+      value_levels: list of (B, H_l, W_l, heads, dim).
+      offsets_px: (B, Nq, heads, L, P, 2) offsets in LEVEL pixels (x, y),
+        bounded to [-radius, radius] by the caller.
+      weights: (B, Nq, heads, L, P) softmaxed attention weights.
+      query_hw: (Hq, Wq) — queries are this grid, row-major; the grid must
+        map affinely onto every level (power-of-two ratios).
+      radius: window half-size in level pixels.
+
+    Returns: (B, Nq, heads * dim)
+    """
+    B, Nq, h, L, P, _ = offsets_px.shape
+    assert Nq == query_hw[0] * query_hw[1]
+    d = value_levels[0].shape[-1]
+
+    def level_fn(value, off, w):
+        return _windowed_level(value, off, w, query_hw, radius)
+    if remat:
+        level_fn = jax.checkpoint(level_fn)
+
+    out = None
+    for l, v in enumerate(value_levels):
+        term = level_fn(v, offsets_px[:, :, :, l], weights[:, :, :, l])
+        out = term if out is None else out + term
+    return out.reshape(B, Nq, h * d)
+
+
+# ---------------------------------------------------------------------------
+# flat single-gather implementation
+# ---------------------------------------------------------------------------
+
+def _chunk_flat_idx_w(locations, weights, spatial_shapes, sampling):
+    """Flat per-(b, h) row indices + folded weights for one query chunk.
+
+    locations: (B, C, h, L, P, 2) normalized (x, y)
+    weights:   (B, C, h, L, P) softmaxed attention weights
+    Returns (idx, w): both (B, C, h, J) with J = L*P*4 (bilinear) or L*P
+    (nearest); idx indexes the level-concat of size HW_total; w folds
+    attention x bilinear-corner x in-bounds.
+    """
+    level_sizes = [h_ * w_ for (h_, w_) in spatial_shapes]
+    level_offsets = np.concatenate([[0], np.cumsum(level_sizes)[:-1]])
+
+    idx_parts, w_parts = [], []
+    for l, (H_, W_) in enumerate(spatial_shapes):
+        w_l = weights[..., l, :]
+        if sampling == "bilinear":
+            x = locations[..., l, :, 0] * W_ - 0.5      # (B, C, h, P)
+            y = locations[..., l, :, 1] * H_ - 0.5
+            x0 = jnp.floor(x)
+            y0 = jnp.floor(y)
+            fx = x - x0
+            fy = y - y0
+
+            def corner(xi, yi, wgt):
+                inb = (xi >= 0) & (xi < W_) & (yi >= 0) & (yi < H_)
+                ii = (jnp.clip(yi, 0, H_ - 1).astype(jnp.int32) * W_
+                      + jnp.clip(xi, 0, W_ - 1).astype(jnp.int32))
+                return ii + int(level_offsets[l]), wgt * inb.astype(wgt.dtype)
+
+            i00, w00 = corner(x0, y0, (1 - fx) * (1 - fy))
+            i01, w01 = corner(x0 + 1, y0, fx * (1 - fy))
+            i10, w10 = corner(x0, y0 + 1, (1 - fx) * fy)
+            i11, w11 = corner(x0 + 1, y0 + 1, fx * fy)
+            idx_parts.append(jnp.stack([i00, i01, i10, i11], axis=-1))
+            w_parts.append(jnp.stack([w00, w01, w10, w11], axis=-1)
+                           * w_l[..., None])
+        else:  # nearest
+            x = jnp.floor(locations[..., l, :, 0] * W_)
+            y = jnp.floor(locations[..., l, :, 1] * H_)
+            inb = (x >= 0) & (x < W_) & (y >= 0) & (y < H_)
+            ii = (jnp.clip(y, 0, H_ - 1).astype(jnp.int32) * W_
+                  + jnp.clip(x, 0, W_ - 1).astype(jnp.int32))
+            idx_parts.append((ii + int(level_offsets[l]))[..., None])
+            w_parts.append((w_l * inb.astype(w_l.dtype))[..., None])
+
+    B, C, h = weights.shape[:3]
+    idx = jnp.stack(idx_parts, axis=3).reshape(B, C, h, -1)
+    w = jnp.stack(w_parts, axis=3).reshape(B, C, h, -1)
+    return idx, w
+
+
+def _flat_table(value_levels):
+    """(B*heads*HW_total, dim) level-concat value table."""
+    B, _, _, nheads, dim = value_levels[0].shape
+    flat = jnp.concatenate(
+        [v.transpose(0, 3, 1, 2, 4).reshape(B, nheads, -1, dim)
+         for v in value_levels], axis=2)
+    hw_total = flat.shape[2]
+    return flat.reshape(B * nheads * hw_total, dim), hw_total
+
+
+def _msda_flat_block(flat, bh_base, locs_c, w_c, spatial_shapes, sampling):
+    """One chunk: compute indices, ONE flat gather, einsum reduce.
+
+    flat: (B*h*HW_total, d); bh_base: (B, h) int32 row offsets;
+    locs_c: (B, C, h, L, P, 2); w_c: (B, C, h, L, P).
+    """
+    idx, w = _chunk_flat_idx_w(locs_c, w_c, spatial_shapes, sampling)
+    idx = idx + bh_base[:, None, :, None]
+    g = flat.at[idx.reshape(-1)].get(mode="promise_in_bounds")
+    g = g.reshape(idx.shape + (flat.shape[-1],))
+    out = jnp.einsum("bqhjd,bqhj->bqhd", g, w.astype(flat.dtype))
+    B, C, h = w.shape[:3]
+    return out.reshape(B, C, h * flat.shape[-1])
+
+
 def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
-                remat: bool = True, sampling: str = "bilinear"):
+                remat: bool = True, sampling: str = "bilinear",
+                impl: str = "flat"):
     """Weighted multi-scale deformable sampling.
 
     Args:
@@ -118,6 +329,8 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
         crop — trading one extra gather pass for ~100x less live memory.
       sampling: 'bilinear' (reference semantics) or 'nearest' (opt-in ~4x
         cheaper approximation; one gather per point).
+      impl: 'flat' (one fused gather per chunk, fastest on TPU) or
+        'per_level' (reference formulation).
 
     Returns:
       (B, Nq, heads * dim)
@@ -125,13 +338,23 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
     B, Nq, nheads, L, P, _ = locations.shape
     assert L == len(value_levels)
     dim = value_levels[0].shape[-1]
-    if remat:
-        block_full = jax.checkpoint(
-            lambda loc, w: _msda_sample_block(value_levels, loc, w,
-                                              sampling))
+
+    if impl == "flat":
+        spatial_shapes = tuple((v.shape[1], v.shape[2])
+                               for v in value_levels)
+        flat, hw_total = _flat_table(value_levels)
+        bh_base = ((jnp.arange(B, dtype=jnp.int32)[:, None] * nheads
+                    + jnp.arange(nheads, dtype=jnp.int32)[None, :])
+                   * hw_total)
+
+        def block_fn(loc, w):
+            return _msda_flat_block(flat, bh_base, loc, w, spatial_shapes,
+                                    sampling)
     else:
-        block_full = lambda loc, w: _msda_sample_block(value_levels, loc, w,
-                                                       sampling)
+        def block_fn(loc, w):
+            return _msda_sample_block(value_levels, loc, w, sampling)
+
+    block_full = jax.checkpoint(block_fn) if remat else block_fn
 
     if Nq <= query_chunk:
         return block_full(locations, weights)
@@ -153,6 +376,7 @@ def msda_sample(value_levels, locations, weights, query_chunk: int = 4096,
         body, None,
         (locs_c.transpose(1, 0, 2, 3, 4, 5, 6),
          w_c.transpose(1, 0, 2, 3, 4, 5)))
+    # (nc, B, C, h*d) -> (B, nc*C, h*d)
     out = out.transpose(1, 0, 2, 3).reshape(B, nc * query_chunk,
                                             nheads * dim)
     return out[:, :Nq]
