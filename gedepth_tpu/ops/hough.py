@@ -16,9 +16,8 @@ TPU design: the pixel->bin map is static per (H, W, numangle, numrho), so
 the accumulation is a linear operator. Instead of atomic scatter-adds (the
 CUDA approach — hostile to TPUs), the forward runs as a lax.scan of one-hot
 matmuls on the MXU: per angle, out_a = feat_flat @ onehot(r_idx[a], numrho).
-The backward is a take_along_axis gather summed over angles. A fused Pallas
-kernel lives in gedepth_tpu.ops.pallas.hough; a C++ CPU reference used for
-parity tests lives in native/hough_ref.cpp.
+The backward is a take_along_axis gather summed over angles. A C++ CPU
+reference used for parity tests lives in native/hough_ref.cpp.
 """
 from __future__ import annotations
 

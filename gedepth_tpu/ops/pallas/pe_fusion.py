@@ -30,23 +30,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NUM_BINS = 11
-BIN_CENTERS = np.linspace(-5.0, 5.0, NUM_BINS).astype(np.float32)
+from gedepth_tpu.geometry.plane import (
+    NUM_SLOPE_BINS, SLOPE_BIN_CENTERS_DEG, slope_to_pe_offset)
+
+NUM_BINS = NUM_SLOPE_BINS
+BIN_CENTERS = SLOPE_BIN_CENTERS_DEG
 DEG2RAD = np.float32(np.pi / 180.0)
 
 
 def pe_fusion_xla(slope_logits, pe_comput, y, cam_height, depth_scale):
-    """Reference implementation. slope_logits (B, H, W, K); pe_comput, y
-    (B, H, W); cam_height (B,). Returns pe_mask (B, H, W)."""
+    """Canonical XLA implementation of the adaptive PE fusion — the single
+    source of truth for the in-model math (the model calls this; the Pallas
+    kernel and the offline preprocessing share `slope_to_pe_offset`).
+
+    slope_logits (B, H, W, K); pe_comput, y (B, H, W); cam_height (B,).
+    Returns pe_mask (B, H, W)."""
     probs = jax.nn.softmax(slope_logits, axis=-1)
     slope_deg = jnp.sum(probs * jnp.asarray(BIN_CENTERS)[None, None, None],
                         axis=-1)
     t = jnp.tan(slope_deg * DEG2RAD)
     h = cam_height[:, None, None]
-    a = -h / (pe_comput + 1e-8)
-    off = -h / ((a - t) + 1e-8)
-    valid = ((off > 0) & (off <= depth_scale)).astype(off.dtype)
-    return off * valid * y
+    off, _ = slope_to_pe_offset(pe_comput, t, h, depth_scale)
+    return off * y
 
 
 def _kernel(logits_ref, pe_ref, y_ref, h_ref, out_ref, *, depth_scale):
