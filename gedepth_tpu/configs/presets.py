@@ -21,6 +21,16 @@ def _ddad_data():
         flip_prob=0.0, ddad_resize=(384, 640))
 
 
+def _nyu_data():
+    # reference configs/_base_/datasets/nyu.py
+    return DataConfig(
+        dataset="nyu", data_root="data/nyu",
+        train_split="splits/nyu_train.txt", test_split="splits/nyu_test.txt",
+        gt_depth_scale=1000.0, crop_size=(416, 544), eval_size=(416, 544),
+        garg_crop=False, eigen_crop=True, flip_prob=0.5,
+        eval_flip_tta=True)
+
+
 def _ddad_model(variant):
     return ModelConfig(pe_variant=variant, max_depth=200.0,
                        depth_scale=250.0, default_cam_height=1.55)
@@ -51,6 +61,37 @@ _PRESETS = {
         data=_ddad_data(),
         optim=OptimConfig(warmup_iters=0),
         train=TrainConfig(max_iters=38400, global_batch=32)),
+    # ---- legacy toolbox model zoo (reference configs/_base_/models/*) ----
+    # AdaBins: EfficientNet + mViT adaptive bins (_base_/models/adabins.py)
+    "adabins_nyu": lambda: ExperimentConfig(
+        name="adabins_nyu",
+        model=ModelConfig(arch="adabins", backbone_variant="b0",
+                          head_channels=128, n_bins=256, max_depth=10.0),
+        data=_nyu_data(),
+        train=TrainConfig(max_iters=38400, global_batch=16)),
+    # BTS: ResNet-50 + local planar guidance (_base_/models/bts.py)
+    "bts_kitti": lambda: ExperimentConfig(
+        name="bts_kitti",
+        model=ModelConfig(arch="bts", backbone_variant="50",
+                          head_channels=128, max_depth=80.0),
+        data=_kitti_data()),
+    # DPT: ViT-Base + reassemble/fusion head (_base_/models/dpt.py)
+    "dpt_kitti": lambda: ExperimentConfig(
+        name="dpt_kitti",
+        model=ModelConfig(arch="dpt", head_channels=256, max_depth=80.0),
+        data=_kitti_data()),
+    # BinsFormer: Swin-T + bin-query transformer (_base_/models/binsformer.py)
+    "binsformer_nyu": lambda: ExperimentConfig(
+        name="binsformer_nyu",
+        model=ModelConfig(arch="binsformer", n_bins=64, max_depth=10.0),
+        data=_nyu_data(),
+        train=TrainConfig(max_iters=38400, global_batch=16)),
+    # DenseDepth: ResNet-50 + UpSample-chain (_base_/models/densedepth.py)
+    "densedepth_kitti": lambda: ExperimentConfig(
+        name="densedepth_kitti",
+        model=ModelConfig(arch="densedepth", backbone_variant="50",
+                          head_channels=128, max_depth=80.0),
+        data=_kitti_data()),
     # Swin-T smoke config on synthetic data (tests / CI / benchmarks)
     "smoke_synthetic": lambda: ExperimentConfig(
         name="smoke_synthetic",

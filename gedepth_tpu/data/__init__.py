@@ -1,5 +1,6 @@
 from gedepth_tpu.data.transforms import (
     KBCrop,
+    NYUCrop,
     RandomRatioResize,
     PadToSize,
     RandomRotate,
@@ -15,4 +16,11 @@ from gedepth_tpu.data.transforms import (
 from gedepth_tpu.data.synthetic import SyntheticGroundDataset
 from gedepth_tpu.data.kitti import KittiDataset
 from gedepth_tpu.data.ddad import DDADDataset
+from gedepth_tpu.data.extra_datasets import (
+    NYUDataset,
+    SUNRGBDDataset,
+    CityscapesDataset,
+    NuScenesDataset,
+    CustomDepthDataset,
+)
 from gedepth_tpu.data.loader import TrainLoader, EvalLoader

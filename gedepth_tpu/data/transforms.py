@@ -84,6 +84,21 @@ def _resize_multichannel(img, size_wh, interpolation):
     return np.concatenate(chunks, axis=-1)
 
 
+class NYUCrop:
+    """NYU standard crop [45:472, 43:608] on img and depth GT
+    (reference transforms.py:114-142)."""
+
+    def __call__(self, sample, rng):
+        sample["img"] = sample["img"][45:472, 43:608]
+        for key in _DEPTH_FIELDS:
+            if key in sample:
+                sample[key] = sample[key][45:472, 43:608]
+        return sample
+
+    def __repr__(self):
+        return "NYUCrop()"
+
+
 class RandomRatioResize:
     """Uniform random scale in ratio_range: bilinear on the full 5-channel
     img, nearest on GT fields. Mirrors Resize(ratio_range=(0.5, 2.0)) with

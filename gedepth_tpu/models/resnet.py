@@ -87,12 +87,17 @@ ARCH_SETTINGS = {
 
 
 class ResNet(nn.Module):
-    """ResNet producing a 4-scale pyramid [/4, /8, /16, /32]."""
+    """ResNet producing a 4-scale pyramid [/4, /8, /16, /32].
+
+    include_stem=True prepends the post-relu /2 stem feature (64ch), giving
+    the 5-level pyramid the BTS/DenseDepth heads expect (reference
+    configs/_base_/models/bts.py in_channels [64, 256, ...])."""
     depth: int = 50
     in_strides: Sequence[int] = (1, 2, 2, 2)
     dilations: Sequence[int] = (1, 1, 1, 1)
     out_indices: Sequence[int] = (0, 1, 2, 3)
     base_channels: int = 64
+    include_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,9 +108,10 @@ class ResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
+        stem = x
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
-        outs = []
+        outs = [stem] if self.include_stem else []
         planes = self.base_channels
         for i, n_blocks in enumerate(stage_blocks):
             for b in range(n_blocks):

@@ -19,9 +19,9 @@ import jax.numpy as jnp
 
 from gedepth_tpu.configs.base import ExperimentConfig
 from gedepth_tpu.data import (
-    Compose, KBCrop, RandomRatioResize, PadToSize, RandomRotate, RandomFlip,
-    RandomCrop, ColorAug, Normalize, DDADResize, TrainLoader,
-    SyntheticGroundDataset, KittiDataset, DDADDataset)
+    Compose, KBCrop, NYUCrop, RandomRatioResize, PadToSize, RandomRotate,
+    RandomFlip, RandomCrop, ColorAug, Normalize, DDADResize, TrainLoader,
+    SyntheticGroundDataset, KittiDataset, DDADDataset, NYUDataset)
 from gedepth_tpu.eval import Evaluator
 from gedepth_tpu.parallel import create_mesh_for_batch, shard_batch
 from gedepth_tpu.train.optim import make_optimizer
@@ -49,6 +49,16 @@ def build_train_pipeline(cfg: ExperimentConfig):
             KBCrop(*d.eval_size, crop_gt=True),
             RandomRatioResize(d.ratio_range),
             PadToSize(*d.eval_size),
+            RandomRotate(0.5, d.rotate_degree),
+            RandomFlip(d.flip_prob),
+            RandomCrop(d.crop_size),
+            ColorAug(0.5),
+            Normalize(depth_scale=norm_scale),
+        ])
+    if d.dataset == "nyu":
+        # reference configs/_base_/datasets/nyu.py train pipeline
+        return Compose([
+            NYUCrop(),
             RandomRotate(0.5, d.rotate_degree),
             RandomFlip(d.flip_prob),
             RandomCrop(d.crop_size),
@@ -94,6 +104,15 @@ def build_datasets(cfg: ExperimentConfig):
                            pe_clip=cfg.model.depth_scale,
                            min_depth=cfg.model.min_depth,
                            max_depth=cfg.model.max_depth)
+    elif d.dataset == "nyu":
+        train = NYUDataset(d.data_root, d.train_split,
+                           depth_scale=d.gt_depth_scale,
+                           min_depth=cfg.model.min_depth,
+                           max_depth=cfg.model.max_depth)
+        test = NYUDataset(d.data_root, d.test_split,
+                          depth_scale=d.gt_depth_scale, test_mode=True,
+                          min_depth=cfg.model.min_depth,
+                          max_depth=cfg.model.max_depth)
     else:
         h, w = d.crop_size
         train = SyntheticGroundDataset(size=d.synthetic_size, height=h,
