@@ -71,6 +71,25 @@ def swin_official_to_gedepth(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
     return out
 
 
+def binsformer_release_remap(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Released-BinsFormer key fixup (reference
+    tools/model_converters/binsformer.py): the release nests the pixel
+    decoder one level deeper than the model expects —
+    `decode_head.transformer_decoder.decoder.X` ->
+    `decode_head.transformer_decoder.X`."""
+    pre = "decode_head.transformer_decoder.decoder."
+    tgt = "decode_head.transformer_decoder."
+    return {(tgt + k[len(pre):]) if k.startswith(pre) else k: v
+            for k, v in sd.items()}
+
+
+def simipu_backbone_extract(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """SimIPU pretraining checkpoint -> backbone-only state dict (reference
+    tools/model_converters/SimIPU.py): keep `img_backbone.*` keys and strip
+    the `img_` prefix so they land on `backbone.*`."""
+    return {k[4:]: v for k, v in sd.items() if "img_backbone" in k}
+
+
 # ---------------------------------------------------------------------------
 # reference torch name -> (flax collection, path tuple) mapping
 # ---------------------------------------------------------------------------

@@ -45,13 +45,20 @@ def build_test_pipeline(data_cfg):
 
 class Evaluator:
     def __init__(self, model, dataset, data_cfg, batch_size=1,
-                 flip_tta=None):
+                 flip_tta=None, ms_ratios=()):
+        """ms_ratios: extra multi-scale TTA ratios (reference --aug-test);
+        the predictions of every ratio (each at base resolution, each
+        flip-averaged when flip TTA is on) are averaged uniformly —
+        reference aug_test (encoder_decoder.py:249-274) sums over views."""
         self.model = model
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.batch_size = batch_size
         flip = data_cfg.eval_flip_tta if flip_tta is None else flip_tta
-        self.eval_step = make_eval_step(model, flip_tta=flip)
+        ratios = tuple(ms_ratios) or (1.0,)
+        self.eval_steps = [make_eval_step(model, flip_tta=flip, ratio=r)
+                           for r in ratios]
+        self.eval_step = self.eval_steps[0]
         self.pipeline = build_test_pipeline(data_cfg)
 
     def _gt_for(self, index):
@@ -94,7 +101,11 @@ class Evaluator:
         for batch, valid in loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("img", "cam_height")}
-            preds = np.asarray(self.eval_step(params, batch_stats, jb))
+            preds = np.asarray(self.eval_steps[0](params, batch_stats, jb))
+            if len(self.eval_steps) > 1:
+                for step in self.eval_steps[1:]:
+                    preds += np.asarray(step(params, batch_stats, jb))
+                preds /= len(self.eval_steps)
             for row in range(preds.shape[0]):
                 if not valid[row]:
                     continue

@@ -47,6 +47,10 @@ class AtrousConv(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.apply_bn_first:
             x = _bn(x, train, "first_bn")
+        # reference bts_head.py:18-22: aconv_sequence = ReLU -> 1x1 conv ->
+        # BN -> ReLU -> dilated 3x3 (the leading ReLU applies even when
+        # apply_bn_first is False)
+        x = nn.relu(x)
         x = nn.Conv(self.features * 2, (1, 1), use_bias=False,
                     kernel_init=torch_conv_kernel_init, name="conv1x1")(x)
         x = _bn(x, train, "bn")

@@ -203,7 +203,8 @@ def _windowed_level(value, off, w, query_hw, radius: int):
 
 
 def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
-                         radius: int = 4, remat: bool = True):
+                         radius: int = 4, remat: bool = True,
+                         impl: str = "tiled", precision=None):
     """Dense windowed multi-scale deformable sampling.
 
     Args:
@@ -214,6 +215,11 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
       query_hw: (Hq, Wq) — queries are this grid, row-major; the grid must
         map affinely onto every level (power-of-two ratios).
       radius: window half-size in level pixels.
+      impl: 'tiled' (local-attention matmul on the MXU, fastest) or 'taps'
+        (dense tap enumeration on the VPU; the readable reference — both
+        compute identical math).
+      precision: matmul precision for the tiled impl (None = backend
+        default; pass jax.lax.Precision.HIGHEST for f32-exact tests).
 
     Returns: (B, Nq, heads * dim)
     """
@@ -221,8 +227,13 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
     assert Nq == query_hw[0] * query_hw[1]
     d = value_levels[0].shape[-1]
 
-    def level_fn(value, off, w):
-        return _windowed_level(value, off, w, query_hw, radius)
+    if impl == "tiled":
+        def level_fn(value, off, w):
+            return _windowed_level_tiled(value, off, w, query_hw, radius,
+                                         precision=precision)
+    else:
+        def level_fn(value, off, w):
+            return _windowed_level(value, off, w, query_hw, radius)
     if remat:
         level_fn = jax.checkpoint(level_fn)
 
@@ -231,6 +242,147 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
         term = level_fn(v, offsets_px[:, :, :, l], weights[:, :, :, l])
         out = term if out is None else out + term
     return out.reshape(B, Nq, h * d)
+
+
+# ---------------------------------------------------------------------------
+# tiled windowed implementation — local attention on the MXU
+# ---------------------------------------------------------------------------
+#
+# The tap-enumeration form above does (2R+2)^2 full-grid VPU passes. This
+# form instead tiles the query grid and, per tile, materialises the bilinear
+# sampling operator as an explicit local attention matrix
+#   A[q, win] = sum_p w[q,p] * wrow_p[q, iy] * wcol_p[q, ix]
+# over the tile's value window (all queries in a tile share one window),
+# then computes the output with ONE batched matmul A @ V_win on the MXU.
+# Everything is static-shape; the only dynamic op is a dynamic_slice of the
+# padded value map per scan step. No gather anywhere, forward or backward.
+
+
+def _tile_plan(nq_axis: int, nv_axis: int, tile: int, radius: int):
+    """Static per-tile tables for one axis.
+
+    Returns (n_tiles, win, base, rel, res):
+      base: (n_tiles,) int32 window start in padded-value coords,
+      rel:  (n_tiles, tile) int32 anchor row relative to window start,
+      res:  (n_tiles, tile) float32 residual of the query center.
+    Padded-value coords assume the value axis is padded by PAD = radius + 3
+    on each side. Queries beyond nq_axis (grid padding) clamp to the last
+    real query, with zero weights upstream.
+    """
+    pad = radius + 3
+    anchors, res = _axis_anchor_residual(nq_axis, nv_axis)
+    n_tiles = -(-nq_axis // tile)
+    total = n_tiles * tile
+    idx = np.minimum(np.arange(total), nq_axis - 1)
+    a = anchors[idx].reshape(n_tiles, tile)
+    r = res[idx].reshape(n_tiles, tile)
+    base = a.min(axis=1) - radius + pad
+    span = int((a.max(axis=1) - a.min(axis=1)).max())
+    win = span + 2 * radius + 2
+    rel = (a + pad - base[:, None]).astype(np.int32)  # anchor minus window start
+    return n_tiles, win, base.astype(np.int32), rel, r.astype(np.float32)
+
+
+def _pick_tile(hq, wq, hv, wv, radius):
+    """Query-tile shape such that the value window stays small even when the
+    value level is finer than the query grid (window grows with the
+    value/query ratio)."""
+    ty = max(1, min(8, (16 * hq) // max(hv, 1)))
+    tx = max(1, min(64, (64 * wq) // max(wv, 1)))
+    return min(ty, hq), min(tx, wq)
+
+
+def _windowed_level_tiled(value, off, w, query_hw, radius: int,
+                          precision=None):
+    """Tiled-local-attention version of `_windowed_level` (same semantics).
+
+    value: (B, Hv, Wv, h, d); off: (B, Nq, h, P, 2) in [-radius, radius]
+    level pixels; w: (B, Nq, h, P). Returns (B, Nq, h, d).
+    """
+    B, Hv, Wv, h, d = value.shape
+    Hq, Wq = query_hw
+    R = radius
+    pad = R + 3
+
+    TH, TW = _pick_tile(Hq, Wq, Hv, Wv, R)
+    nty, wh, base_y, rel_y, res_y = _tile_plan(Hq, Hv, TH, R)
+    ntx, ww, base_x, rel_x, res_x = _tile_plan(Wq, Wv, TW, R)
+
+    P = off.shape[3]
+    off = off.reshape(B, Hq, Wq, h, P, 2)
+    w = w.reshape(B, Hq, Wq, h, P)
+
+    # pad the query grid to tile multiples (weights 0 => no contribution)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+
+    vp = jnp.pad(value, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+
+    # tile the query tensors: (S, B, TH, TW, h, P[, 2])
+    S = nty * ntx
+    off_t = off.reshape(B, nty, TH, ntx, TW, h, P, 2).transpose(
+        1, 3, 0, 2, 4, 5, 6, 7).reshape(S, B, TH, TW, h, P, 2)
+    w_t = w.reshape(B, nty, TH, ntx, TW, h, P).transpose(
+        1, 3, 0, 2, 4, 5, 6).reshape(S, B, TH, TW, h, P)
+
+    # per-step static tables
+    sy = np.repeat(np.arange(nty), ntx)
+    sx = np.tile(np.arange(ntx), nty)
+    t_base_y = jnp.asarray(base_y[sy])          # (S,)
+    t_base_x = jnp.asarray(base_x[sx])
+    t_rel_y = jnp.asarray(rel_y[sy])            # (S, TH)
+    t_rel_x = jnp.asarray(rel_x[sx])            # (S, TW)
+    t_res_y = jnp.asarray(res_y[sy])
+    t_res_x = jnp.asarray(res_x[sx])
+
+    iot_y = jnp.arange(wh, dtype=jnp.int32)
+    iot_x = jnp.arange(ww, dtype=jnp.int32)
+
+    def step(carry, xs):
+        offs, ws, by, bx, ry, rx, ey, ex = xs
+        # window: (B, wh, ww, h, d)
+        win = jax.lax.dynamic_slice(
+            vp, (0, by, bx, 0, 0), (B, wh, ww, h, d))
+
+        # sampling position relative to the anchor
+        tyy = ey[None, :, None, None, None] + offs[..., 1]  # (B,TH,TW,h,P)
+        txx = ex[None, None, :, None, None] + offs[..., 0]
+        y0 = jnp.floor(tyy)
+        x0 = jnp.floor(txx)
+        fy = (tyy - y0).astype(value.dtype)
+        fx = (txx - x0).astype(value.dtype)
+        # tap rows within the window
+        wy0 = (ry[None, :, None, None, None] + y0.astype(jnp.int32))
+        wx0 = (rx[None, None, :, None, None] + x0.astype(jnp.int32))
+
+        wrow = ((iot_y == wy0[..., None]).astype(value.dtype)
+                * (1 - fy[..., None])
+                + (iot_y == (wy0 + 1)[..., None]).astype(value.dtype)
+                * fy[..., None])                       # (B,TH,TW,h,P,wh)
+        wcol = ((iot_x == wx0[..., None]).astype(value.dtype)
+                * (1 - fx[..., None])
+                + (iot_x == (wx0 + 1)[..., None]).astype(value.dtype)
+                * fx[..., None])                       # (B,TH,TW,h,P,ww)
+        wrow = wrow * ws[..., None]                    # fold attention weight
+
+        # local attention matrix over the window
+        amat = jnp.einsum("byxhpi,byxhpj->bhyxij", wrow, wcol,
+                          precision=precision)         # (B,h,TH,TW,wh,ww)
+        amat = amat.reshape(B, h, TH * TW, wh * ww)
+        wmat = win.transpose(0, 3, 1, 2, 4).reshape(B, h, wh * ww, d)
+        out = jnp.einsum("bhqw,bhwd->bhqd", amat, wmat,
+                         precision=precision)          # (B,h,Q,d)
+        return carry, out.transpose(0, 2, 1, 3)        # (B,Q,h,d)
+
+    _, outs = jax.lax.scan(
+        step, None,
+        (off_t, w_t, t_base_y, t_base_x, t_rel_y, t_rel_x, t_res_y, t_res_x))
+    # (S, B, TH*TW, h, d) -> (B, Hq, Wq, h, d) -> (B, Nq, h, d)
+    outs = outs.reshape(nty, ntx, B, TH, TW, h, d).transpose(
+        2, 0, 3, 1, 4, 5, 6).reshape(B, nty * TH, ntx * TW, h, d)
+    return outs[:, :Hq, :Wq].reshape(B, Hq * Wq, h, d)
 
 
 # ---------------------------------------------------------------------------

@@ -73,7 +73,8 @@ def optax_global_norm(tree):
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
 
 
-def make_eval_step(model, flip_tta: bool = True, bf16: bool = False):
+def make_eval_step(model, flip_tta: bool = True, bf16: bool = False,
+                   ratio: float = 1.0):
     """Returns eval_step(params, batch_stats, batch) -> (B, H, W) depth.
 
     Flip TTA runs the horizontally flipped batch through the model and
@@ -85,6 +86,17 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False):
     (flax layers follow input/param dtypes); output depth returns in f32.
     Roughly halves HBM traffic on TPU at some numerical cost — validate
     against the f32 metrics before shipping numbers.
+
+    ratio != 1.0 is one view of multi-scale TTA (reference tools/test.py
+    --aug-test + test_time_aug.py:102-127): the input is bilinearly resized
+    by `ratio` (all channels, incl. the PE planes) before the forward, and
+    the prediction is resized back to the base resolution. The scaled size
+    snaps to a multiple of 32 so every pyramid level stays even (a design
+    choice, not reference semantics: the reference's --aug-test pokes
+    `pipeline[1]` which in the shipped GEDepth configs is
+    LoadKITTICamIntrinsic, i.e. multi-ratio TTA is silently broken there —
+    it only ever worked for the toolbox configs; we implement what it
+    intended). Each ratio is its own static shape, hence its own jit.
     """
 
     @jax.jit
@@ -98,13 +110,19 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False):
             variables["batch_stats"] = batch_stats
         ch = batch.get("cam_height")
 
-        def run(img):
-            out = model.apply(variables, img, ch, False)
+        img = batch["img"]
+        base_hw = img.shape[1:3]
+        if ratio != 1.0:
+            sh = max(32, int(round(base_hw[0] * ratio / 32)) * 32)
+            sw = max(32, int(round(base_hw[1] * ratio / 32)) * 32)
+            img = resize_bilinear(img, (sh, sw), align_corners=False)
+
+        def run(im):
+            out = model.apply(variables, im, ch, False)
             d = out["depth"].astype(jnp.float32)
             d = jnp.clip(d, model.min_depth, model.max_depth)
-            return resize_bilinear(d, img.shape[1:3], align_corners=True)
+            return resize_bilinear(d, base_hw, align_corners=True)
 
-        img = batch["img"]
         pred = run(img)
         if flip_tta:
             pred_f = run(img[:, :, ::-1, :])[:, :, ::-1, :]

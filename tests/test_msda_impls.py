@@ -45,7 +45,11 @@ def test_flat_gradients_match():
                                    rtol=1e-4, atol=1e-4)
 
 
-def test_windowed_matches_exact_for_inwindow_offsets():
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["taps", "tiled"])
+def test_windowed_matches_exact_for_inwindow_offsets(impl):
     """With grid-center refs and offsets within the window, the windowed
     dense sampler reproduces the exact bilinear gather to float tolerance,
     for value levels both finer and coarser than the query grid."""
@@ -71,15 +75,16 @@ def test_windowed_matches_exact_for_inwindow_offsets():
     a = np.asarray(msda_sample(levels, jnp.asarray(locs), jnp.asarray(w),
                                impl="per_level"))
     b = np.asarray(msda_sample_windowed(levels, jnp.asarray(off),
-                                        jnp.asarray(w), (Hq, Wq), radius=R))
+                                        jnp.asarray(w), (Hq, Wq), radius=R,
+                                        impl=impl))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
     g1 = jax.grad(lambda ls: msda_sample(
         ls, jnp.asarray(locs), jnp.asarray(w), impl="per_level").sum())(
             levels)
     g2 = jax.grad(lambda ls: msda_sample_windowed(
-        ls, jnp.asarray(off), jnp.asarray(w), (Hq, Wq), radius=R).sum())(
-            levels)
+        ls, jnp.asarray(off), jnp.asarray(w), (Hq, Wq), radius=R,
+        impl=impl).sum())(levels)
     for x, y in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-4, atol=1e-4)
@@ -95,7 +100,9 @@ def test_windowed_zero_padding_outside_image():
     off = np.zeros((B, Hq * Wq, h, 1, P, 2), np.float32)
     off[:, 0, :, :, :, :] = -4.0   # sample at (-3.5-ish, ...) -> outside
     w = np.ones((B, Hq * Wq, h, 1, P), np.float32)
-    out = np.asarray(msda_sample_windowed(
-        [level], jnp.asarray(off), jnp.asarray(w), (Hq, Wq), radius=R))
-    assert abs(out[0, 0]).max() == 0.0
-    np.testing.assert_allclose(out[0, 5], 1.0, atol=1e-6)  # interior = 1
+    for impl in ("taps", "tiled"):
+        out = np.asarray(msda_sample_windowed(
+            [level], jnp.asarray(off), jnp.asarray(w), (Hq, Wq), radius=R,
+            impl=impl))
+        assert abs(out[0, 0]).max() == 0.0
+        np.testing.assert_allclose(out[0, 5], 1.0, atol=1e-6)  # interior = 1

@@ -469,3 +469,35 @@ def test_vit_official_conversion_parity():
     tokens, hw = vit.apply({"params": params}, img_j)[-1]
     np.testing.assert_allclose(np.asarray(tokens), want, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_binsformer_release_remap():
+    """Mirrors reference tools/model_converters/binsformer.py: strips the
+    extra `.decoder.` nesting, leaves everything else untouched."""
+    from gedepth_tpu.convert import binsformer_release_remap
+
+    sd = {
+        "decode_head.transformer_decoder.decoder.layers.0.w": 1,
+        "decode_head.conv_depth.weight": 2,
+        "backbone.patch_embed.projection.weight": 3,
+    }
+    out = binsformer_release_remap(sd)
+    assert out == {
+        "decode_head.transformer_decoder.layers.0.w": 1,
+        "decode_head.conv_depth.weight": 2,
+        "backbone.patch_embed.projection.weight": 3,
+    }
+
+
+def test_simipu_backbone_extract():
+    """Mirrors reference tools/model_converters/SimIPU.py: keeps only
+    img_backbone.* keys, stripping the img_ prefix."""
+    from gedepth_tpu.convert import simipu_backbone_extract
+
+    sd = {
+        "img_backbone.stages.0.blocks.0.attn.w": 1,
+        "img_neck.lateral.weight": 2,
+        "pts_backbone.conv.weight": 3,
+    }
+    out = simipu_backbone_extract(sd)
+    assert out == {"backbone.stages.0.blocks.0.attn.w": 1}

@@ -113,6 +113,30 @@ def test_eval_step_flip_tta_consistency():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_eval_step_multiscale_ratio():
+    """ratio=1.0 is the identity view; a non-unit ratio runs the forward at
+    the snapped scaled size and returns base-resolution predictions
+    (reference --aug-test intent, test_time_aug.py:102-127)."""
+    model = _model()
+    batch = _batch(1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["img"]),
+                           jnp.asarray(batch["cam_height"]))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    base = np.asarray(make_eval_step(model, flip_tta=False)(
+        params, stats, jb))
+    unit = np.asarray(make_eval_step(model, flip_tta=False, ratio=1.0)(
+        params, stats, jb))
+    np.testing.assert_allclose(base, unit, rtol=1e-6, atol=1e-6)
+    scaled = np.asarray(make_eval_step(model, flip_tta=False, ratio=2.0)(
+        params, stats, jb))
+    assert scaled.shape == base.shape
+    assert np.isfinite(scaled).all()
+    assert scaled.min() >= model.min_depth - 1e-6
+    # different scale => genuinely different view (not a no-op)
+    assert np.abs(scaled - base).max() > 0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from gedepth_tpu.train.checkpoint import (
         save_checkpoint, restore_checkpoint, save_params_only,

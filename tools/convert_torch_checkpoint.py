@@ -23,6 +23,13 @@ def main():
     parser.add_argument("config")
     parser.add_argument("out")
     parser.add_argument("--official-swin", action="store_true")
+    parser.add_argument("--binsformer-release", action="store_true",
+                        help="apply the released-BinsFormer key fixup "
+                             "(reference tools/model_converters/binsformer.py)")
+    parser.add_argument("--simipu", action="store_true",
+                        help="extract the img_backbone from a SimIPU "
+                             "pretraining checkpoint (reference "
+                             "tools/model_converters/SimIPU.py)")
     parser.add_argument("--options", nargs="*", default=None)
     args = parser.parse_args()
 
@@ -32,7 +39,8 @@ def main():
 
     from gedepth_tpu.configs import get_config
     from gedepth_tpu.convert import (
-        load_torch_checkpoint, convert_state_dict, swin_official_to_gedepth)
+        load_torch_checkpoint, convert_state_dict, swin_official_to_gedepth,
+        binsformer_release_remap, simipu_backbone_extract)
     from gedepth_tpu.convert.torch_to_jax import (
         pad_patch_embed_for_pe, _merge_into)
     from gedepth_tpu.train.checkpoint import save_params_only
@@ -49,6 +57,10 @@ def main():
                            jnp.ones((1,), jnp.float32))
 
     sd = load_torch_checkpoint(args.checkpoint)
+    if args.binsformer_release:
+        sd = binsformer_release_remap(sd)
+    if args.simipu:
+        sd = simipu_backbone_extract(sd)
     if args.official_swin:
         sd = {f"backbone.{k}": v
               for k, v in swin_official_to_gedepth(sd).items()}

@@ -24,6 +24,11 @@ def main():
     parser.add_argument("--max-images", type=int, default=None)
     parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--no-tta", action="store_true")
+    parser.add_argument("--aug-test", action="store_true",
+                        help="multi-scale TTA (reference tools/test.py:96-101"
+                             " intent): ratios x flip, predictions averaged")
+    parser.add_argument("--aug-ratios", default="0.5,0.75,1.0,1.25,1.5,1.75",
+                        help="comma-separated ratios for --aug-test")
     parser.add_argument("--show-dir", default=None,
                         help="dump colorized depth maps here")
     parser.add_argument("--format-only", action="store_true")
@@ -57,9 +62,12 @@ def main():
     params, stats = load_params_only(args.checkpoint, variables["params"],
                                      variables.get("batch_stats", {}))
 
+    ms_ratios = (tuple(float(r) for r in args.aug_ratios.split(","))
+                 if args.aug_test else ())
     evaluator = Evaluator(model, test_ds, cfg.data,
                           batch_size=args.batch_size,
-                          flip_tta=False if args.no_tta else None)
+                          flip_tta=False if args.no_tta else None,
+                          ms_ratios=ms_ratios)
 
     on_prediction = None
     if args.format_only or args.show_dir:
