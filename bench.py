@@ -7,6 +7,11 @@ Protocol mirrors the reference's tools/benchmark.py (warmup then timed
 iters, device-synchronised) at the KITTI eval resolution 352x1216, flagship
 GEDepth-Adaptive (Swin-L + HAHI + adaptive PE), no flip TTA, batch 1.
 
+Measures the TPU-native flagship preset (windowed tiled deformable
+attention + scanned Swin pairs — gedepth_adaptive_kitti_tpu). Set
+BENCH_CONFIG=gedepth_adaptive_kitti to time the exact-mmcv-semantics
+parity configuration instead (XLA gather MSDA).
+
 vs_baseline: the reference publishes no throughput figures (SURVEY.md §6).
 We normalise against an assumed 10 images/sec for the PyTorch
 DepthFormer-SwinL on one A100 (same protocol), the BASELINE.json comparison
@@ -32,7 +37,8 @@ def main():
     import jax.numpy as jnp
     from gedepth_tpu.configs import get_config
 
-    cfg = get_config("gedepth_adaptive_kitti")
+    cfg = get_config(os.environ.get("BENCH_CONFIG",
+                                    "gedepth_adaptive_kitti_tpu"))
     model = cfg.model.build()
 
     rng = np.random.default_rng(0)
@@ -62,7 +68,7 @@ def main():
 
     ips = BATCH * ITERS / dt
     print(json.dumps({
-        "metric": "gedepth_adaptive_swinl_kitti_352x1216_infer",
+        "metric": f"{cfg.name}_swinl_352x1216_infer",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_BASELINE_FPS, 3),

@@ -27,6 +27,7 @@ class ModelConfig:
     num_heads: Tuple[int, ...] = (6, 12, 24, 48)
     window: int = 7
     drop_path_rate: float = 0.3
+    swin_scan: bool = False   # scan Swin block pairs (smaller HLO/compile)
     # neck
     neck_channels: Tuple[int, ...] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
@@ -60,6 +61,7 @@ class ModelConfig:
             embed_dims=self.embed_dims, depths=self.depths,
             num_heads=self.num_heads, window=self.window,
             drop_path_rate=self.drop_path_rate,
+            swin_scan=self.swin_scan,
             neck_channels=self.neck_channels,
             neck_embed_dim=self.neck_embed_dim,
             neck_num_points=self.neck_num_points,

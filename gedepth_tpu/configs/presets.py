@@ -49,6 +49,17 @@ _PRESETS = {
     "gedepth_adaptive_kitti": lambda: ExperimentConfig(
         name="gedepth_adaptive_kitti",
         model=ModelConfig(pe_variant="adaptive"), data=_kitti_data()),
+    # TPU-native flagship: same GEDepth-Adaptive recipe with the windowed
+    # deformable-attention neck (dense tiled local attention, no gathers —
+    # ops/msda.py) and scanned Swin block pairs (4x smaller HLO). This is
+    # the intended train-from-scratch production config on TPU; the
+    # 'gedepth_adaptive_kitti' preset keeps exact mmcv-MSDA semantics for
+    # converted-checkpoint parity evals.
+    "gedepth_adaptive_kitti_tpu": lambda: ExperimentConfig(
+        name="gedepth_adaptive_kitti_tpu",
+        model=ModelConfig(pe_variant="adaptive", neck_sampling="windowed",
+                          swin_scan=True),
+        data=_kitti_data()),
     # configs/depthformer/depthformer_v_ddad.py
     "gedepth_vanilla_ddad": lambda: ExperimentConfig(
         name="gedepth_vanilla_ddad", model=_ddad_model("vanilla"),

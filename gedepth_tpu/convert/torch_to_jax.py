@@ -265,6 +265,145 @@ def _map_torch_key(k: str):
         return [("params", ("decode_head", "conv_depth",
                             "kernel" if m.group(1) == "weight" else "bias"),
                  t)]
+
+    # ---- BTS decode head (reference bts_head.py module names) ----
+    def _bn_leaf(flax_base, leaf):
+        if leaf == "num_batches_tracked":
+            return []
+        if leaf in ("weight", "bias"):
+            return [("params", flax_base +
+                     ("scale" if leaf == "weight" else "bias",), None)]
+        return [("batch_stats", flax_base +
+                 ("mean" if leaf == "running_mean" else "var",), None)]
+
+    m = re.match(r"decode_head\.upconv(\d)\.conv\.weight$", k)
+    if m:
+        return [("params", ("decode_head", f"upconv{m.group(1)}", "conv",
+                            "kernel"), _conv_w)]
+    m = re.match(r"decode_head\.(bn\d(?:_2)?)\."
+                 r"(weight|bias|running_mean|running_var|"
+                 r"num_batches_tracked)$", k)
+    if m:
+        return _bn_leaf(("decode_head", m.group(1)), m.group(2))
+    m = re.match(r"decode_head\.conv(\d)\.0\.weight$", k)
+    if m:
+        return [("params", ("decode_head", f"conv{m.group(1)}", "kernel"),
+                 _conv_w)]
+    m = re.match(r"decode_head\.daspp_(\d+)\.atrous_conv\.first_bn\.(.*)$", k)
+    if m:
+        return _bn_leaf(("decode_head", f"daspp_{m.group(1)}", "first_bn"),
+                        m.group(2))
+    m = re.match(r"decode_head\.daspp_(\d+)\.atrous_conv\.aconv_sequence\."
+                 r"(\d)\.(.*)$", k)
+    if m:
+        base = ("decode_head", f"daspp_{m.group(1)}")
+        idx, leaf = m.group(2), m.group(3)
+        if idx == "1":
+            return [("params", base + ("conv1x1", "kernel"), _conv_w)]
+        if idx == "2":
+            return _bn_leaf(base + ("bn",), leaf)
+        if idx == "4":
+            return [("params", base + ("conv3x3", "kernel"), _conv_w)]
+        return None
+    m = re.match(r"decode_head\.daspp_conv\.0\.weight$", k)
+    if m:
+        return [("params", ("decode_head", "daspp_conv", "kernel"), _conv_w)]
+    # ---- AdaBins decode head (reference adabins_head.py module names) ----
+    m = re.match(r"decode_head\.decode_final_conv\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "decode_final_conv",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.conv_out\.0\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "conv_out",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.adaptive_bins_layer\.conv3x3\."
+                 r"(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "adaptive_bins_layer", "conv3x3",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.adaptive_bins_layer\.regressor\.([024])\."
+                 r"(weight|bias)$", k)
+    if m:
+        idx = {"0": "regressor0", "2": "regressor1", "4": "regressor2"}
+        t = _lin_w if m.group(2) == "weight" else None
+        return [("params", ("decode_head", "adaptive_bins_layer", idx[m.group(1)],
+                            "kernel" if m.group(2) == "weight" else "bias"),
+                 t)]
+    pt = "decode_head.adaptive_bins_layer.patch_transformer."
+    if k == pt + "positional_encodings":
+        return [("params", ("decode_head", "adaptive_bins_layer",
+                            "patch_transformer", "positional_encodings"),
+                 None)]
+    m = re.match(re.escape(pt) + r"embedding_convPxP\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "adaptive_bins_layer",
+                            "patch_transformer", "embedding_convPxP",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(re.escape(pt) + r"transformer_encoder\.layers\.(\d+)\."
+                 r"(.*)$", k)
+    if m:
+        base = ("decode_head", "adaptive_bins_layer", "patch_transformer",
+                f"layer{m.group(1)}")
+        rest = m.group(2)
+        NH = 4  # reference mViT num_heads (adabins_head.py:31)
+
+        def _split_qkv(which, is_bias):
+            def t(v):
+                e = v.shape[0] // 3
+                part = v[which * e:(which + 1) * e]
+                if is_bias:
+                    return part.reshape(NH, e // NH)
+                return part.transpose(1, 0).reshape(e, NH, e // NH)
+            return t
+
+        if rest == "self_attn.in_proj_weight":
+            return [("params", base + ("self_attn", nm, "kernel"),
+                     _split_qkv(i, False))
+                    for i, nm in enumerate(("query", "key", "value"))]
+        if rest == "self_attn.in_proj_bias":
+            return [("params", base + ("self_attn", nm, "bias"),
+                     _split_qkv(i, True))
+                    for i, nm in enumerate(("query", "key", "value"))]
+        if rest == "self_attn.out_proj.weight":
+            return [("params", base + ("self_attn", "out", "kernel"),
+                     lambda v: v.transpose(1, 0).reshape(
+                         NH, v.shape[1] // NH, v.shape[0]))]
+        if rest == "self_attn.out_proj.bias":
+            return [("params", base + ("self_attn", "out", "bias"), None)]
+        mm = re.match(r"linear(\d)\.(weight|bias)$", rest)
+        if mm:
+            t = _lin_w if mm.group(2) == "weight" else None
+            return [("params", base + (f"linear{mm.group(1)}",
+                                       "kernel" if mm.group(2) == "weight"
+                                       else "bias"), t)]
+        mm = re.match(r"norm(\d)\.(weight|bias)$", rest)
+        if mm:
+            return [("params", base + (f"norm{mm.group(1)}",
+                                       "scale" if mm.group(2) == "weight"
+                                       else "bias"), None)]
+        return None
+
+    m = re.match(r"decode_head\.(reduc\d+x\d+|reduc1x1)\.reduc\.(.*)$", k)
+    if m:
+        base = ("decode_head", m.group(1))
+        rest = m.group(2)
+        mm = re.match(r"(inter_\d+_\d+)\.0\.weight$", rest)
+        if mm:
+            return [("params", base + (mm.group(1), "kernel"), _conv_w)]
+        if rest == "plane_params.weight":
+            return [("params", base + ("plane_params", "kernel"), _conv_w)]
+        if rest == "final.0.weight":
+            return [("params", base + ("final", "kernel"), _conv_w)]
+        return None
     return None
 
 

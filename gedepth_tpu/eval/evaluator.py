@@ -45,15 +45,22 @@ def build_test_pipeline(data_cfg):
 
 class Evaluator:
     def __init__(self, model, dataset, data_cfg, batch_size=1,
-                 flip_tta=None, ms_ratios=()):
+                 flip_tta=None, ms_ratios=(), device_metrics=False):
         """ms_ratios: extra multi-scale TTA ratios (reference --aug-test);
         the predictions of every ratio (each at base resolution, each
         flip-averaged when flip TTA is on) are averaged uniformly —
-        reference aug_test (encoder_decoder.py:249-274) sums over views."""
+        reference aug_test (encoder_decoder.py:249-274) sums over views.
+
+        device_metrics=True computes the 9 per-image metrics on the TPU
+        via `batched_masked_metrics_jax` (one jitted call per batch) instead
+        of the per-image numpy path; GT load + crop/mask stay on host (the
+        protocol's full-res GT reload). Same numbers to float tolerance —
+        see test_metrics.py device/numpy agreement test."""
         self.model = model
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.batch_size = batch_size
+        self.device_metrics = device_metrics
         flip = data_cfg.eval_flip_tta if flip_tta is None else flip_tta
         ratios = tuple(ms_ratios) or (1.0,)
         self.eval_steps = [make_eval_step(model, flip_tta=flip, ratio=r)
@@ -66,6 +73,44 @@ class Evaluator:
             return self.dataset.load_gt(index)
         # synthetic: the sample carries its GT
         return self.dataset[index]["depth_gt"]
+
+    def _gt_mask_for(self, pred, index):
+        """Host-side protocol prep: (gt, valid_mask, pred') aligned shapes."""
+        gt = self._gt_for(index)
+        if self.data_cfg.dataset == "kitti":
+            gt = eval_kb_crop(gt, *self.data_cfg.eval_size)
+            mask = eval_crop_mask(gt, self.model.min_depth,
+                                  self.model.max_depth,
+                                  garg_crop=self.data_cfg.garg_crop,
+                                  eigen_crop=self.data_cfg.eigen_crop)
+            return gt, mask, pred
+        if self.data_cfg.dataset == "ddad":
+            pred_up = np.asarray(resize_bilinear(
+                pred[None, :, :, None].astype(np.float32), gt.shape,
+                align_corners=True))[0, :, :, 0]
+            mask = (gt > self.model.min_depth) & (gt < self.model.max_depth)
+            return gt, mask, pred_up
+        mask = eval_crop_mask(gt, self.model.min_depth, self.model.max_depth,
+                              garg_crop=self.data_cfg.garg_crop,
+                              eigen_crop=self.data_cfg.eigen_crop)
+        return gt, mask, pred
+
+    def _device_metrics_batch(self, rows):
+        """rows: list of (gt, mask, pred) with identical shapes -> list of
+        9-metric dicts computed on device in one jitted call."""
+        import jax
+        import jax.numpy as jnp
+        from gedepth_tpu.core.metrics import batched_masked_metrics_jax
+
+        if not hasattr(self, "_dev_metrics_fn"):
+            self._dev_metrics_fn = jax.jit(batched_masked_metrics_jax)
+        gt = jnp.asarray(np.stack([r[0] for r in rows]))
+        mask = jnp.asarray(np.stack([r[1] for r in rows]))
+        pred = jnp.asarray(np.stack([r[2] for r in rows]))
+        vals = np.asarray(self._dev_metrics_fn(gt, pred, mask))
+        # same shape as calculate_metrics: per-image tuples in
+        # METRIC_NAMES order
+        return [tuple(row) for row in vals]
 
     def _metrics_for(self, pred, index):
         gt = self._gt_for(index)
@@ -101,11 +146,14 @@ class Evaluator:
         for batch, valid in loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("img", "cam_height")}
-            preds = np.asarray(self.eval_steps[0](params, batch_stats, jb))
+            # np.asarray of a jax array is a read-only view — accumulate
+            # into a fresh host buffer
+            preds = np.array(self.eval_steps[0](params, batch_stats, jb))
             if len(self.eval_steps) > 1:
                 for step in self.eval_steps[1:]:
                     preds += np.asarray(step(params, batch_stats, jb))
                 preds /= len(self.eval_steps)
+            device_rows = []
             for row in range(preds.shape[0]):
                 if not valid[row]:
                     continue
@@ -113,11 +161,20 @@ class Evaluator:
                 if on_prediction is not None:
                     on_prediction(index, preds[row])
                 if compute_metrics:
-                    per_image.append(self._metrics_for(preds[row], index))
+                    if self.device_metrics:
+                        device_rows.append(
+                            self._gt_mask_for(preds[row], index))
+                    else:
+                        per_image.append(self._metrics_for(preds[row], index))
                 done += 1
                 if progress is not None and done % progress == 0:
                     print(f"  eval {done}/{len(self.dataset)}", flush=True)
                 if max_images is not None and done >= max_images:
+                    if device_rows:
+                        per_image.extend(
+                            self._device_metrics_batch(device_rows))
                     return (aggregate_metrics(per_image) if per_image
                             else {}), per_image
+            if device_rows:
+                per_image.extend(self._device_metrics_batch(device_rows))
         return (aggregate_metrics(per_image) if per_image else {}), per_image

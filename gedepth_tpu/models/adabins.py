@@ -112,7 +112,9 @@ class AdabinsHead(nn.Module):
                 x = ConvModule(ch, kernel_size=1, act=None, use_bias=True,
                                name=f"conv{i}")(feat)
             else:
-                x = UpSampleBlock(ch, name=f"up{i}")(x, feat)
+                # toolbox default act (ReLU): the adabins _base_ config does
+                # not override act_cfg (reference decode_head.py:305)
+                x = UpSampleBlock(ch, act=nn.relu, name=f"up{i}")(x, feat)
 
         x = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
                     kernel_init=torch_conv_kernel_init,

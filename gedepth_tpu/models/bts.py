@@ -72,7 +72,6 @@ class Reduction1x1(nn.Module):
     @nn.compact
     def __call__(self, x):
         n_out = self.num_out_filters
-        i = 0
         while n_out >= 4:
             if n_out < 8:
                 if self.is_final:
@@ -84,12 +83,13 @@ class Reduction1x1(nn.Module):
                             kernel_init=torch_conv_kernel_init,
                             name="plane_params")(x)
                 break
+            # named like the reference's sequential entries
+            # (bts_head.py:61-64: 'inter_{in}_{out}') so checkpoint keys map 1:1
             x = nn.Conv(n_out, (1, 1), use_bias=False,
                         kernel_init=torch_conv_kernel_init,
-                        name=f"inter{i}")(x)
+                        name=f"inter_{x.shape[-1]}_{n_out}")(x)
             x = nn.elu(x)
             n_out //= 2
-            i += 1
         theta = jax.nn.sigmoid(x[..., 0]) * (math.pi / 3)
         phi = jax.nn.sigmoid(x[..., 1]) * (math.pi * 2)
         dist = jax.nn.sigmoid(x[..., 2]) * self.max_depth

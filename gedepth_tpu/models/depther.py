@@ -38,6 +38,7 @@ class GEDepth(nn.Module):
     num_heads: Sequence[int] = (6, 12, 24, 48)
     window: int = 7
     drop_path_rate: float = 0.3
+    swin_scan: bool = False   # nn.scan over block pairs (compile-time win)
     # neck
     neck_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
@@ -66,6 +67,7 @@ class GEDepth(nn.Module):
             embed_dims=self.embed_dims, depths=self.depths,
             num_heads=self.num_heads, window=self.window,
             drop_path_rate=self.drop_path_rate, use_pe=use_pe,
+            scan_pairs=self.swin_scan,
             name="backbone")
         feats = backbone(img, train=train)
 

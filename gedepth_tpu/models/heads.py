@@ -23,16 +23,22 @@ def _leaky_relu(x):
 
 
 class UpSampleBlock(nn.Module):
-    """upsample -> concat skip -> two 3x3 convs (act only, no norm)."""
+    """upsample -> concat skip -> two 3x3 convs (act only, no norm).
+
+    act defaults to LeakyReLU(0.01) — the GEDepth configs override the
+    toolbox's ReLU default (depthformer_a.py:121); zoo heads built from the
+    toolbox `_base_` configs pass nn.relu."""
     features: int
+    act: object = None
 
     @nn.compact
     def __call__(self, x, skip):
+        act = self.act or _leaky_relu
         x = resize_bilinear(x, skip.shape[1:3], align_corners=True)
         x = jnp.concatenate([x, skip], axis=-1)
-        x = ConvModule(self.features, kernel_size=3, act=_leaky_relu,
+        x = ConvModule(self.features, kernel_size=3, act=act,
                        use_bias=True, name="convA")(x)
-        x = ConvModule(self.features, kernel_size=3, act=_leaky_relu,
+        x = ConvModule(self.features, kernel_size=3, act=act,
                        use_bias=True, name="convB")(x)
         return x
 

@@ -79,14 +79,18 @@ class ConvModule(nn.Module):
 
 
 class DropPath(nn.Module):
-    """Stochastic depth: drop the residual branch per sample."""
+    """Stochastic depth: drop the residual branch per sample.
+
+    `rate_override` (a traced scalar) replaces the static rate — used by the
+    scanned Swin stages where the per-block rate is a scan input."""
     rate: float
 
     @nn.compact
-    def __call__(self, x, deterministic: bool):
-        if self.rate == 0.0 or deterministic:
+    def __call__(self, x, deterministic: bool, rate_override=None):
+        if deterministic or (rate_override is None and self.rate == 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = (1.0 - self.rate if rate_override is None
+                else 1.0 - rate_override)
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)

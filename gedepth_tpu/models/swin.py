@@ -127,7 +127,8 @@ class SwinBlock(nn.Module):
     drop_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, hw_shape, deterministic: bool = True):
+    def __call__(self, x, hw_shape, deterministic: bool = True,
+                 drop_path_rate=None):
         B, L, C = x.shape
         H, W = hw_shape
         shift = self.window // 2 if self.shift else 0
@@ -158,13 +159,15 @@ class SwinBlock(nn.Module):
         if pad_b or pad_r:
             x = x[:, :H, :W, :]
         x = x.reshape(B, L, C)
-        x = identity + DropPath(self.drop_path)(x, deterministic)
+        x = identity + DropPath(self.drop_path)(x, deterministic,
+                                                drop_path_rate)
 
         identity = x
         y = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = Mlp(self.mlp_ratio * C, C, self.drop_rate, name="ffn")(
             y, deterministic)
-        return identity + DropPath(self.drop_path)(y, deterministic)
+        return identity + DropPath(self.drop_path)(y, deterministic,
+                                                   drop_path_rate)
 
 
 class PatchMerging(nn.Module):
@@ -215,8 +218,72 @@ class PatchEmbed(nn.Module):
         return x, (DH, DW)
 
 
+class _BlockPair(nn.Module):
+    """One W-MSA + SW-MSA pair — the scan unit of a Swin stage.
+
+    Per-block drop-path rates arrive as the (2,)-vector scan input so every
+    pair shares one compiled body (reference stages are structurally
+    identical within a stage; only drop_path varies, depthformer_swin.py
+    dpr linspace)."""
+    embed_dims: int
+    num_heads: int
+    window: int
+    mlp_ratio: int
+    drop_rate: float
+    hw: Tuple[int, int]
+    deterministic: bool
+    remat: bool
+
+    @nn.compact
+    def __call__(self, x, dpr):
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2, 3))
+                     if self.remat else SwinBlock)
+        x = block_cls(self.embed_dims, self.num_heads, self.window,
+                      shift=False, mlp_ratio=self.mlp_ratio,
+                      drop_rate=self.drop_rate, name="block0")(
+                          x, self.hw, self.deterministic, dpr[0])
+        x = block_cls(self.embed_dims, self.num_heads, self.window,
+                      shift=True, mlp_ratio=self.mlp_ratio,
+                      drop_rate=self.drop_rate, name="block1")(
+                          x, self.hw, self.deterministic, dpr[1])
+        return x, None
+
+
+def stack_swin_params(backbone_params: dict, depths) -> dict:
+    """Per-block param tree -> scanned-pair param tree.
+
+    Converts `stage{i}_block{d}` entries (checkpoint-converter / orbax
+    layout) into the `stage{i}_pairs/block{0,1}` stacked layout expected by
+    `DepthFormerSwin(scan_pairs=True)` (leading axis = pair index). All
+    non-block entries pass through unchanged."""
+    import jax
+
+    out = {k: v for k, v in backbone_params.items()
+           if not (k.startswith("stage") and "_block" in k)}
+    for i, depth in enumerate(depths):
+        blocks = [backbone_params[f"stage{i}_block{d}"]
+                  for d in range(depth)]
+        if not blocks:
+            continue
+        assert depth % 2 == 0, "scan_pairs needs even stage depths"
+        pairs = {}
+        for j in range(2):
+            sub = [blocks[2 * p + j] for p in range(depth // 2)]
+            pairs[f"block{j}"] = jax.tree.map(
+                lambda *leaves: np.stack(leaves, axis=0), *sub)
+        out[f"stage{i}_pairs"] = pairs
+    return out
+
+
 class DepthFormerSwin(nn.Module):
-    """Conv stem (RGB) + Swin stages (RGBP when use_pe)."""
+    """Conv stem (RGB) + Swin stages (RGBP when use_pe).
+
+    scan_pairs=True runs each stage as an `nn.scan` over its (W-MSA,
+    SW-MSA) block pairs: one compiled pair body per stage instead of
+    `depth` inlined blocks, shrinking HLO (and cold-compile time) roughly
+    by sum(depths)/2/4 at Swin-L scale. Param layout changes to stacked
+    `stage{i}_pairs` entries — `stack_swin_params` adapts per-block
+    checkpoints."""
     embed_dims: int = 192
     depths: Sequence[int] = (2, 2, 18, 2)
     num_heads: Sequence[int] = (6, 12, 24, 48)
@@ -228,6 +295,7 @@ class DepthFormerSwin(nn.Module):
     use_pe: bool = True
     stem_channels: int = 64
     remat: bool = True  # rematerialise blocks in the backward pass
+    scan_pairs: bool = False
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -246,16 +314,34 @@ class DepthFormerSwin(nn.Module):
         dpr = np.linspace(0, self.drop_path_rate, total_depth).tolist()
         block_idx = 0
         channels = self.embed_dims
+        use_remat = self.remat and train
         block_cls = (nn.remat(SwinBlock, static_argnums=(2, 3))
-                     if (self.remat and train) else SwinBlock)
+                     if use_remat else SwinBlock)
         for i, depth in enumerate(self.depths):
-            for d in range(depth):
-                x = block_cls(channels, self.num_heads[i], self.window,
-                              shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
-                              drop_path=dpr[block_idx],
-                              drop_rate=self.drop_rate,
-                              name=f"stage{i}_block{d}")(x, hw, deterministic)
-                block_idx += 1
+            if self.scan_pairs and depth % 2 == 0:
+                rates = jnp.asarray(
+                    dpr[block_idx:block_idx + depth],
+                    jnp.float32).reshape(depth // 2, 2)
+                scan_cls = nn.scan(
+                    _BlockPair,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=0, out_axes=0)
+                x, _ = scan_cls(channels, self.num_heads[i], self.window,
+                                self.mlp_ratio, self.drop_rate, hw,
+                                deterministic, use_remat,
+                                name=f"stage{i}_pairs")(x, rates)
+                block_idx += depth
+            else:
+                for d in range(depth):
+                    x = block_cls(channels, self.num_heads[i], self.window,
+                                  shift=(d % 2 == 1),
+                                  mlp_ratio=self.mlp_ratio,
+                                  drop_path=dpr[block_idx],
+                                  drop_rate=self.drop_rate,
+                                  name=f"stage{i}_block{d}")(x, hw,
+                                                             deterministic)
+                    block_idx += 1
             out = nn.LayerNorm(epsilon=1e-5, name=f"norm{i}")(x)
             B = out.shape[0]
             outs.append(out.reshape(B, hw[0], hw[1], channels))

@@ -261,13 +261,17 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
 def _tile_plan(nq_axis: int, nv_axis: int, tile: int, radius: int):
     """Static per-tile tables for one axis.
 
-    Returns (n_tiles, win, base, rel, res):
-      base: (n_tiles,) int32 window start in padded-value coords,
-      rel:  (n_tiles, tile) int32 anchor row relative to window start,
-      res:  (n_tiles, tile) float32 residual of the query center.
-    Padded-value coords assume the value axis is padded by PAD = radius + 3
-    on each side. Queries beyond nq_axis (grid padding) clamp to the last
-    real query, with zero weights upstream.
+    Returns (n_tiles, win, base, rel, res, extent):
+      base:   (n_tiles,) int32 window start in left-padded value coords
+              (left pad = radius + 3),
+      rel:    (n_tiles, tile) int32 anchor row relative to window start,
+      res:    (n_tiles, tile) float32 residual of the query center,
+      extent: required padded-axis length — windows of size `win` starting
+              at every base stay in [0, extent) (tile spans vary once the
+              grid-padding clamp kicks in, so the uniform `win` can overrun
+              the natural right pad; the caller pads the value axis to
+              `extent`). Queries beyond nq_axis clamp to the last real
+              query, with zero weights upstream.
     """
     pad = radius + 3
     anchors, res = _axis_anchor_residual(nq_axis, nv_axis)
@@ -280,7 +284,9 @@ def _tile_plan(nq_axis: int, nv_axis: int, tile: int, radius: int):
     span = int((a.max(axis=1) - a.min(axis=1)).max())
     win = span + 2 * radius + 2
     rel = (a + pad - base[:, None]).astype(np.int32)  # anchor minus window start
-    return n_tiles, win, base.astype(np.int32), rel, r.astype(np.float32)
+    extent = max(int(base.max()) + win, nv_axis + 2 * pad)
+    return (n_tiles, win, base.astype(np.int32), rel, r.astype(np.float32),
+            extent)
 
 
 def _pick_tile(hq, wq, hv, wv, radius):
@@ -296,6 +302,12 @@ def _windowed_level_tiled(value, off, w, query_hw, radius: int,
                           precision=None):
     """Tiled-local-attention version of `_windowed_level` (same semantics).
 
+    Scans over query-row bands: the row offset is the only dynamic index
+    (one dynamic_slice per band); the column tiling is fully static, so the
+    per-tile value windows are static slices of the row band. Per band, one
+    batched A-build einsum and one batched A @ V matmul serve every column
+    tile and head at once.
+
     value: (B, Hv, Wv, h, d); off: (B, Nq, h, P, 2) in [-radius, radius]
     level pixels; w: (B, Nq, h, P). Returns (B, Nq, h, d).
     """
@@ -305,8 +317,8 @@ def _windowed_level_tiled(value, off, w, query_hw, radius: int,
     pad = R + 3
 
     TH, TW = _pick_tile(Hq, Wq, Hv, Wv, R)
-    nty, wh, base_y, rel_y, res_y = _tile_plan(Hq, Hv, TH, R)
-    ntx, ww, base_x, rel_x, res_x = _tile_plan(Wq, Wv, TW, R)
+    nty, wh, base_y, rel_y, res_y, ext_y = _tile_plan(Hq, Hv, TH, R)
+    ntx, ww, base_x, rel_x, res_x, ext_x = _tile_plan(Wq, Wv, TW, R)
 
     P = off.shape[3]
     off = off.reshape(B, Hq, Wq, h, P, 2)
@@ -317,71 +329,75 @@ def _windowed_level_tiled(value, off, w, query_hw, radius: int,
     if py or px:
         off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0), (0, 0)))
         w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+    Wqp = ntx * TW
 
-    vp = jnp.pad(value, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(value, ((0, 0), (pad, ext_y - Hv - pad),
+                         (pad, ext_x - Wv - pad), (0, 0), (0, 0)))
+    Wvp = ext_x
 
-    # tile the query tensors: (S, B, TH, TW, h, P[, 2])
-    S = nty * ntx
-    off_t = off.reshape(B, nty, TH, ntx, TW, h, P, 2).transpose(
-        1, 3, 0, 2, 4, 5, 6, 7).reshape(S, B, TH, TW, h, P, 2)
-    w_t = w.reshape(B, nty, TH, ntx, TW, h, P).transpose(
-        1, 3, 0, 2, 4, 5, 6).reshape(S, B, TH, TW, h, P)
+    # per-band query tensors: (nty, B, TH, Wqp, h, P[, 2])
+    off_t = off.reshape(B, nty, TH, Wqp, h, P, 2).transpose(
+        1, 0, 2, 3, 4, 5, 6)
+    w_t = w.reshape(B, nty, TH, Wqp, h, P).transpose(1, 0, 2, 3, 4, 5)
 
-    # per-step static tables
-    sy = np.repeat(np.arange(nty), ntx)
-    sx = np.tile(np.arange(ntx), nty)
-    t_base_y = jnp.asarray(base_y[sy])          # (S,)
-    t_base_x = jnp.asarray(base_x[sx])
-    t_rel_y = jnp.asarray(rel_y[sy])            # (S, TH)
-    t_rel_x = jnp.asarray(rel_x[sx])            # (S, TW)
-    t_res_y = jnp.asarray(res_y[sy])
-    t_res_x = jnp.asarray(res_x[sx])
+    # static per-column tables (column tiling never moves)
+    rel_x_cols = jnp.asarray(
+        (rel_x.reshape(-1)), jnp.int32)              # (Wqp,)
+    res_x_cols = jnp.asarray(res_x.reshape(-1))      # (Wqp,)
 
     iot_y = jnp.arange(wh, dtype=jnp.int32)
     iot_x = jnp.arange(ww, dtype=jnp.int32)
 
     def step(carry, xs):
-        offs, ws, by, bx, ry, rx, ey, ex = xs
-        # window: (B, wh, ww, h, d)
-        win = jax.lax.dynamic_slice(
-            vp, (0, by, bx, 0, 0), (B, wh, ww, h, d))
+        offs, ws, by, ry, ey = xs
+        # row band: (B, wh, Wvp, h, d)
+        band = jax.lax.dynamic_slice(
+            vp, (0, by, 0, 0, 0), (B, wh, Wvp, h, d))
+        # static column windows -> (B, ntx, wh, ww, h, d)
+        wins = jnp.stack(
+            [jax.lax.slice_in_dim(band, int(bx), int(bx) + ww, axis=2)
+             for bx in base_x], axis=1)
 
         # sampling position relative to the anchor
-        tyy = ey[None, :, None, None, None] + offs[..., 1]  # (B,TH,TW,h,P)
-        txx = ex[None, None, :, None, None] + offs[..., 0]
+        tyy = ey[None, :, None, None, None] + offs[..., 1]  # (B,TH,Wqp,h,P)
+        txx = res_x_cols[None, None, :, None, None] + offs[..., 0]
         y0 = jnp.floor(tyy)
         x0 = jnp.floor(txx)
         fy = (tyy - y0).astype(value.dtype)
         fx = (txx - x0).astype(value.dtype)
-        # tap rows within the window
         wy0 = (ry[None, :, None, None, None] + y0.astype(jnp.int32))
-        wx0 = (rx[None, None, :, None, None] + x0.astype(jnp.int32))
+        wx0 = (rel_x_cols[None, None, :, None, None] + x0.astype(jnp.int32))
 
         wrow = ((iot_y == wy0[..., None]).astype(value.dtype)
                 * (1 - fy[..., None])
                 + (iot_y == (wy0 + 1)[..., None]).astype(value.dtype)
-                * fy[..., None])                       # (B,TH,TW,h,P,wh)
+                * fy[..., None])                     # (B,TH,Wqp,h,P,wh)
         wcol = ((iot_x == wx0[..., None]).astype(value.dtype)
                 * (1 - fx[..., None])
                 + (iot_x == (wx0 + 1)[..., None]).astype(value.dtype)
-                * fx[..., None])                       # (B,TH,TW,h,P,ww)
-        wrow = wrow * ws[..., None]                    # fold attention weight
+                * fx[..., None])                     # (B,TH,Wqp,h,P,ww)
+        wrow = wrow * ws[..., None]                  # fold attention weight
 
-        # local attention matrix over the window
-        amat = jnp.einsum("byxhpi,byxhpj->bhyxij", wrow, wcol,
-                          precision=precision)         # (B,h,TH,TW,wh,ww)
-        amat = amat.reshape(B, h, TH * TW, wh * ww)
-        wmat = win.transpose(0, 3, 1, 2, 4).reshape(B, h, wh * ww, d)
-        out = jnp.einsum("bhqw,bhwd->bhqd", amat, wmat,
-                         precision=precision)          # (B,h,Q,d)
-        return carry, out.transpose(0, 2, 1, 3)        # (B,Q,h,d)
+        # group query columns by tile: (B, TH, ntx, TW, h, P, i/j)
+        wrow_t = wrow.reshape(B, TH, ntx, TW, h, P, wh)
+        wcol_t = wcol.reshape(B, TH, ntx, TW, h, P, ww)
+        amat = jnp.einsum("bymthpi,bymthpj->bhmytij", wrow_t, wcol_t,
+                          precision=precision)       # (B,h,ntx,TH,TW,wh,ww)
+        amat = amat.reshape(B, h, ntx, TH * TW, wh * ww)
+        wmat = wins.transpose(0, 4, 1, 2, 3, 5).reshape(
+            B, h, ntx, wh * ww, d)
+        out = jnp.einsum("bhmqw,bhmwd->bhmqd", amat, wmat,
+                         precision=precision)        # (B,h,ntx,TH*TW,d)
+        out = out.reshape(B, h, ntx, TH, TW, d).transpose(0, 3, 2, 4, 1, 5)
+        return carry, out.reshape(B, TH, Wqp, h, d)
 
     _, outs = jax.lax.scan(
         step, None,
-        (off_t, w_t, t_base_y, t_base_x, t_rel_y, t_rel_x, t_res_y, t_res_x))
-    # (S, B, TH*TW, h, d) -> (B, Hq, Wq, h, d) -> (B, Nq, h, d)
-    outs = outs.reshape(nty, ntx, B, TH, TW, h, d).transpose(
-        2, 0, 3, 1, 4, 5, 6).reshape(B, nty * TH, ntx * TW, h, d)
+        (off_t, w_t, jnp.asarray(base_y), jnp.asarray(rel_y),
+         jnp.asarray(res_y)))
+    # (nty, B, TH, Wqp, h, d) -> (B, Hq, Wq, h, d) -> (B, Nq, h, d)
+    outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
+        B, nty * TH, Wqp, h, d)
     return outs[:, :Hq, :Wq].reshape(B, Hq * Wq, h, d)
 
 

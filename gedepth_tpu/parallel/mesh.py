@@ -50,6 +50,37 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def create_mesh_2d(devices=None, space: int = 2,
+                   axis_names=("data", "space")) -> Mesh:
+    """2-D mesh: data parallelism x width-axis spatial parallelism.
+
+    The model fits one chip, so `space` only matters when a single sample's
+    activations don't (oversized eval images) or to demonstrate composed
+    dp x sp shardings; grads/BN reductions span both axes automatically."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % space == 0, (n, space)
+    return Mesh(np.asarray(devices).reshape(n // space, space), axis_names)
+
+
+def shard_batch_2d(batch: dict, mesh: Mesh) -> dict:
+    """Shard a train batch on a ("data", "space") mesh: axis 0 over data,
+    the width axis over space (img is NHWC; dense per-pixel targets are
+    (B, H, W))."""
+    data_ax, space_ax = mesh.axis_names
+
+    def put(x):
+        if x.ndim == 4:      # img NHWC
+            spec = P(data_ax, None, space_ax, None)
+        elif x.ndim == 3:    # depth_gt / pe_k_gt (B, H, W)
+            spec = P(data_ax, None, space_ax)
+        else:                # cam_height (B,)
+            spec = P(data_ax)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
     """Shard NHWC images over the WIDTH axis (sequence/spatial parallelism).
 

@@ -145,3 +145,36 @@ def test_smoke_config_builds():
     params = model.init(jax.random.PRNGKey(0), img)
     out = model.apply(params, img)
     assert out["depth"].shape == (1, 48, 96, 1)
+
+
+def test_swin_scan_pairs_matches_loop():
+    """scan_pairs=True with stacked params reproduces the per-block loop
+    exactly (eval mode); stack_swin_params adapts the checkpoint layout."""
+    import jax
+    import jax.numpy as jnp
+    from gedepth_tpu.models.swin import DepthFormerSwin, stack_swin_params
+
+    depths = (2, 4)
+    kw = dict(embed_dims=16, depths=depths, num_heads=(2, 4), window=4,
+              use_pe=False, drop_path_rate=0.2)
+    loop = DepthFormerSwin(**kw)
+    scan = DepthFormerSwin(scan_pairs=True, **kw)
+
+    img = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 32, 48, 3)).astype(np.float32))
+    vs = loop.init(jax.random.PRNGKey(0), img)
+    stacked = stack_swin_params(vs["params"], depths)
+    # sanity: the scan model accepts exactly this tree
+    scan_shapes = jax.tree.map(
+        lambda x: x.shape,
+        scan.init(jax.random.PRNGKey(0), img)["params"])
+    got_shapes = jax.tree.map(lambda x: x.shape, stacked)
+    assert scan_shapes == got_shapes
+
+    outs_a = loop.apply({"params": vs["params"],
+                         "batch_stats": vs["batch_stats"]}, img)
+    outs_b = scan.apply({"params": stacked,
+                         "batch_stats": vs["batch_stats"]}, img)
+    for a, b in zip(outs_a, outs_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -106,3 +106,25 @@ def test_windowed_zero_padding_outside_image():
             impl=impl))
         assert abs(out[0, 0]).max() == 0.0
         np.testing.assert_allclose(out[0, 5], 1.0, atol=1e-6)  # interior = 1
+
+
+def test_windowed_tiled_clamped_pad_tiles():
+    """Query widths that pad to a mostly-clamped last tile used to compute
+    windows past the padded value extent (caught on TPU by the verify
+    drive); tiled must still equal taps."""
+    rng = np.random.default_rng(7)
+    B, h, d, P, R = 1, 2, 4, 2, 4
+    Hq, Wq = 48, 80            # pads to TW=64 -> ntx=2, tile 1 clamped
+    shapes = [(24, 40), (6, 10)]
+    L = len(shapes)
+    levels = [jnp.asarray(rng.standard_normal((B, H, W, h, d))
+                          .astype(np.float32)) for H, W in shapes]
+    off = jnp.asarray(rng.uniform(-R, R, (B, Hq * Wq, h, L, P, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, Hq * Wq, h, L, P))
+                    .astype(np.float32))
+    a = np.asarray(msda_sample_windowed(levels, off, w, (Hq, Wq), radius=R,
+                                        impl="taps"))
+    b = np.asarray(msda_sample_windowed(levels, off, w, (Hq, Wq), radius=R,
+                                        impl="tiled"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
