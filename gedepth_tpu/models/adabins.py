@@ -64,6 +64,10 @@ class PatchTransformerEncoder(nn.Module):
 
 
 class MiniViT(nn.Module):
+    """Needs >= channels + 1 patch tokens (reference mViT takes the first
+    token as the bins regressor input and the next `channels` as range
+    queries, adabins_head.py:52) — i.e. input H*W/patch_size^2 > channels;
+    smaller toy inputs degrade gracefully to fewer queries."""
     channels: int = 128
     n_bins: int = 256
     patch_size: int = 16

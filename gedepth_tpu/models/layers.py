@@ -24,7 +24,9 @@ def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
     flax conv kernels are (kh, kw, in, out); fan_in = kh*kw*in.
     """
     fan_in = int(np.prod(shape[:-1]))
-    bound = 1.0 / np.sqrt(fan_in)
+    # fan_in == 0 only for degenerate 0-channel convs (e.g. AdaBins mViT on
+    # toy image sizes); the kernel is empty, any finite bound works.
+    bound = 1.0 / np.sqrt(max(fan_in, 1))
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 

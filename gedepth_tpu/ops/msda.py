@@ -204,7 +204,7 @@ def _windowed_level(value, off, w, query_hw, radius: int):
 
 def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
                          radius: int = 4, remat: bool = True,
-                         impl: str = "tiled", precision=None):
+                         impl: str = "auto", precision=None):
     """Dense windowed multi-scale deformable sampling.
 
     Args:
@@ -215,9 +215,11 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
       query_hw: (Hq, Wq) — queries are this grid, row-major; the grid must
         map affinely onto every level (power-of-two ratios).
       radius: window half-size in level pixels.
-      impl: 'tiled' (local-attention matmul on the MXU, fastest) or 'taps'
-        (dense tap enumeration on the VPU; the readable reference — both
-        compute identical math).
+      impl: 'auto' (Pallas kernel on TPU, 'tiled' elsewhere), 'pallas'
+        (force the kernel), 'tiled' (XLA local-attention matmul) or 'taps'
+        (dense tap enumeration on the VPU; the readable reference — all
+        compute identical math; the TPU MXU paths carry ~4e-3 relative
+        rounding from bf16 multiply passes).
       precision: matmul precision for the tiled impl (None = backend
         default; pass jax.lax.Precision.HIGHEST for f32-exact tests).
 
@@ -227,11 +229,25 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
     assert Nq == query_hw[0] * query_hw[1]
     d = value_levels[0].shape[-1]
 
+    if impl == "auto":
+        # the axon remote-TPU platform reports its own backend name, so
+        # gate on "not cpu" rather than == "tpu"
+        impl = "tiled" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from gedepth_tpu.ops.pallas.msda_windowed import (
+            msda_windowed_level, pallas_windowed_supported)
+        if all(pallas_windowed_supported(
+                query_hw, (v.shape[1], v.shape[2]), radius)
+               for v in value_levels):
+            def level_fn(value, off, w):
+                return msda_windowed_level(value, off, w, query_hw, radius)
+        else:
+            impl = "tiled"
     if impl == "tiled":
         def level_fn(value, off, w):
             return _windowed_level_tiled(value, off, w, query_hw, radius,
                                          precision=precision)
-    else:
+    elif impl == "taps":
         def level_fn(value, off, w):
             return _windowed_level(value, off, w, query_hw, radius)
     if remat:
@@ -289,12 +305,23 @@ def _tile_plan(nq_axis: int, nv_axis: int, tile: int, radius: int):
             extent)
 
 
+import os
+
+# Query-tile defaults. Smaller tiles shrink the per-query window (less
+# A-build HBM traffic: win/query 588 -> 216 going from 8x64 to 4x16 at a
+# 1/2-ratio level) at the cost of more scan steps; 4x32 measured best on
+# v5e. Override for sweeps: GEDEPTH_MSDA_TILE="ty,tx".
+_TILE_DEFAULT = tuple(
+    int(v) for v in os.environ.get("GEDEPTH_MSDA_TILE", "4,32").split(","))
+
+
 def _pick_tile(hq, wq, hv, wv, radius):
     """Query-tile shape such that the value window stays small even when the
     value level is finer than the query grid (window grows with the
     value/query ratio)."""
-    ty = max(1, min(8, (16 * hq) // max(hv, 1)))
-    tx = max(1, min(64, (64 * wq) // max(wv, 1)))
+    ty0, tx0 = _TILE_DEFAULT
+    ty = max(1, min(ty0, (2 * ty0 * hq) // max(hv, 1)))
+    tx = max(1, min(tx0, (tx0 * wq) // max(wv, 1)))
     return min(ty, hq), min(tx, wq)
 
 

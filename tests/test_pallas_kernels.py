@@ -91,3 +91,34 @@ def test_msda_nearest_matches_grid_sample():
     want = want.reshape(B, heads, dim, Nq).permute(0, 3, 1, 2)
     want = want.reshape(B, Nq, heads * dim).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_windowed_pallas_interpret_parity():
+    """Pallas windowed-MSDA kernel (interpret mode) == taps reference,
+    including clamped padded tiles and multi-ratio levels."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gedepth_tpu.ops.msda import msda_sample_windowed
+    from gedepth_tpu.ops.pallas import msda_windowed as K
+
+    rng = np.random.default_rng(3)
+    B, h, d, P, R = 1, 2, 8, 4, 4
+    Hq, Wq = 16, 40
+    shapes = [(8, 20), (4, 10)]
+    levels = [jnp.asarray(rng.standard_normal((B, H, W, h, d))
+                          .astype(np.float32)) for H, W in shapes]
+    off = jnp.asarray(rng.uniform(-R, R, (B, Hq * Wq, h, len(shapes), P, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, Hq * Wq, h, len(shapes), P))
+                    .astype(np.float32))
+    ref = np.asarray(msda_sample_windowed(levels, off, w, (Hq, Wq),
+                                          radius=R, impl="taps"))
+    got = None
+    for li, v in enumerate(levels):
+        plan = K._plan((Hq, Wq), (v.shape[1], v.shape[2]), R)
+        assert plan is not None
+        term = K._pallas_level(v, off[:, :, :, li], w[:, :, :, li],
+                               (Hq, Wq), R, plan, interpret=True)
+        got = term if got is None else got + term
+    got = np.asarray(got).reshape(ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
