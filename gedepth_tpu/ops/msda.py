@@ -234,20 +234,25 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
         # gate on "not cpu" rather than == "tpu"
         impl = "tiled" if jax.default_backend() == "cpu" else "pallas"
     if impl == "pallas":
+        # per-level dispatch: the kernel covers the hot same/coarser-value
+        # levels; pairs whose window blows the VMEM budget (coarse query
+        # grid sampling a much finer level) use the XLA tiled path
         from gedepth_tpu.ops.pallas.msda_windowed import (
             msda_windowed_level, pallas_windowed_supported)
-        if all(pallas_windowed_supported(
-                query_hw, (v.shape[1], v.shape[2]), radius)
-               for v in value_levels):
-            def level_fn(value, off, w):
+
+        def level_fn(value, off, w):
+            if pallas_windowed_supported(
+                    query_hw, (value.shape[1], value.shape[2]), radius):
                 return msda_windowed_level(value, off, w, query_hw, radius)
-        else:
-            impl = "tiled"
-    if impl == "tiled":
+            return _windowed_level_tiled(value, off, w, query_hw, radius,
+                                         precision=precision)
+    elif impl == "tiled":
         def level_fn(value, off, w):
             return _windowed_level_tiled(value, off, w, query_hw, radius,
                                          precision=precision)
-    elif impl == "taps":
+    else:
+        assert impl == "taps", impl
+
         def level_fn(value, off, w):
             return _windowed_level(value, off, w, query_hw, radius)
     if remat:

@@ -65,6 +65,14 @@ def _plan(query_hw, value_hw, radius):
     wh8 = _round8(wh + 7)
     ext_y8 = _round8(max(int(base8.max()) + wh8, ext_y))
     ext_x8 = _round8(ext_x)
+    # VMEM budget: the row band + A scratch must fit alongside the blocked
+    # inputs/outputs (~16 MB total). Oversized plans (coarse query grids
+    # sampling fine levels blow the window up with the ratio) fall back to
+    # the XLA tiled path.
+    band_bytes = wh8 * ext_x8 * _D_LANES * 4
+    amat_bytes = wh * ww * _Q_LANES * 4
+    if band_bytes + amat_bytes > 8 * 1024 * 1024:
+        return None
     return dict(TH=TH, TW=TW, nty=nty, ntx=ntx, wh=wh, ww=ww, wh8=wh8,
                 base8=base8, roff=roff, rel_y=rel_y, res_y=res_y,
                 ext_y8=ext_y8, base_x=base_x, rel_x=rel_x, res_x=res_x,
