@@ -22,4 +22,8 @@ from gedepth_tpu.models.experiment_heads import (
     ASNDepthHead)
 from gedepth_tpu.models.necks_extra import (
     PEMaskNeck, DynamicPEMaskNeck, LightDynamicPEMaskNeck,
-    DynamicPENeckGlobal, SkipNeck)
+    DynamicPENeckGlobal, SkipNeck,
+    DynamicPENeckStem, DynamicAttnPENeck, DynamicPENeckBackbone,
+    DynamicPENeckSoft2, DynamicPENeckSoftHRNet, DynamicPENeckSoftDDR,
+    DynamicPENeckHeavy,
+)

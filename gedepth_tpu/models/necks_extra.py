@@ -92,6 +92,142 @@ class DynamicPENeckGlobal(nn.Module):
         return nn.Dense(self.num_bins, name="fc2")(x)
 
 
+class DynamicPENeckStem(nn.Module):
+    """Global slope scalar from the conv-stem feature (reference
+    dynamicpe_neck.py:148-249 DynamicPENeck): 1x1 increase -> 4 stride-2
+    ConvModules -> 1x1 to 2048 -> tanh -> global avg pool -> Linear(1)."""
+    widths: Sequence[int] = (96, 192, 384, 768, 1536)
+    final_channels: int = 2048
+
+    @nn.compact
+    def __call__(self, stem_feat, train: bool = False):
+        x = ConvModule(self.widths[0], kernel_size=1, use_norm=True,
+                       act=nn.relu, name="increase")(stem_feat, train=train)
+        for i in range(len(self.widths) - 1):
+            x = ConvModule(self.widths[i + 1], kernel_size=3, stride=2,
+                           use_norm=True, act=nn.relu,
+                           name=f"down{i}")(x, train=train)
+        x = ConvModule(self.final_channels, kernel_size=1, use_norm=True,
+                       act=nn.relu, name="final")(x, train=train)
+        x = jnp.tanh(x)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(1, name="mlp")(x)        # (B, 1) global slope
+
+
+class DynamicAttnPENeck(nn.Module):
+    """Global slope-bin logits via strided convs + global max pool
+    (reference dynamicpe_neck.py:80-145 DynamicATTNPENeck)."""
+    out_channels: int = 5
+
+    @nn.compact
+    def __call__(self, stem_feat, train: bool = False):
+        widths = (128, 64)
+        x = stem_feat
+        for i, c in enumerate(widths):
+            x = ConvModule(c, kernel_size=3, stride=2, use_norm=True,
+                           act=nn.relu, name=f"down{i}")(x, train=train)
+        x = ConvModule(self.out_channels, kernel_size=1, use_norm=True,
+                       act=nn.relu, name="final")(x, train=train)
+        return jnp.max(x, axis=(1, 2))            # (B, out_channels)
+
+
+class DynamicPENeckBackbone(nn.Module):
+    """Global 9-bin slope head over an HRNet pyramid (reference
+    dynamicpe_neck.py:251-317): per-scale Bottleneck increase layers, a
+    stride-2 downsample cascade with adds, final 1x1 -> pool -> Linear(9)."""
+    in_widths: Sequence[int] = (18, 36, 72, 144)
+    out_widths: Sequence[int] = (128, 256, 512, 1024)
+    final_channels: int = 2048
+    num_bins: int = 9
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        from gedepth_tpu.models.resnet import Bottleneck
+
+        incs = [Bottleneck(c // 4, stride=1, downsample=True,
+                           name=f"increase{i}")(
+                    x, train=train)
+                for i, (x, c) in enumerate(zip(inputs, self.out_widths))]
+        feat = incs[0]
+        for i in range(len(self.out_widths) - 1):
+            feat = ConvModule(self.out_widths[i + 1], kernel_size=3,
+                              stride=2, use_norm=True, act=nn.relu,
+                              name=f"down{i}")(feat, train=train)
+            feat = feat + incs[i + 1]
+        feat = ConvModule(self.final_channels, kernel_size=1, use_norm=True,
+                          act=nn.relu, name="final")(feat, train=train)
+        x = jnp.mean(feat, axis=(1, 2))
+        return nn.Dense(self.num_bins, name="fc")(x)
+
+
+class DynamicPENeckSoft2(nn.Module):
+    """Per-pixel slope bins over DETACHED features (reference
+    dynamicpe_neck.py:318-355 DynamicPENeckSOFT2 — trains the slope head
+    without backprop into the trunk)."""
+    channels: int = 64
+    num_bins: int = 11
+
+    @nn.compact
+    def __call__(self, inputs):
+        inputs = [jax.lax.stop_gradient(x) for x in inputs]
+        feats = inputs[::-1]                      # coarse -> fine
+        tgt = feats[-1].shape[1:3]
+        acc = None
+        for i, f in enumerate(feats):
+            y = _conv3(self.channels, f"conv{i}")(f)
+            if f.shape[1:3] != tgt:
+                y = resize_bilinear(y, tgt, align_corners=True)
+            acc = y if acc is None else acc + y
+        return _conv3(self.num_bins, "convfinal")(acc)
+
+
+class DynamicPENeckSoftHRNet(nn.Module):
+    """4-scale HRNet flavour of the soft slope head (reference
+    dynamicpe_neck.py:357-393)."""
+    channels: int = 18
+    num_bins: int = 11
+
+    @nn.compact
+    def __call__(self, inputs):
+        feats = inputs[::-1]
+        tgt = feats[-1].shape[1:3]
+        acc = None
+        for i, f in enumerate(feats):
+            y = _conv3(self.channels, f"conv{i}")(f)
+            if f.shape[1:3] != tgt:
+                y = resize_bilinear(y, tgt, align_corners=True)
+            acc = y if acc is None else acc + y
+        return _conv3(self.num_bins, "convfinal")(acc)
+
+
+class DynamicPENeckSoftDDR(nn.Module):
+    """Single-feature DDRNet flavour (reference dynamicpe_neck.py:395-428):
+    conv-BN-ReLU x2 + 1x1 slope-bin conv."""
+    channels: int = 256
+    num_bins: int = 11
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvModule(self.channels, kernel_size=3, use_norm=True,
+                       act=nn.relu, name="fuse0")(x, train=train)
+        x = ConvModule(self.channels, kernel_size=3, use_norm=True,
+                       act=nn.relu, name="fuse1")(x, train=train)
+        return nn.Conv(self.num_bins, (1, 1),
+                       kernel_init=xavier_uniform_init, name="out")(x)
+
+
+class DynamicPENeckHeavy(nn.Module):
+    """DenseDepth UpSample chain -> 11-bin slope conv (reference
+    dynamicpe_neck.py:430-488 DYNAMICPENeckHeavy)."""
+    up_sample_channels: Sequence[int] = (64, 192, 384, 768, 1536)
+    num_bins: int = 11
+
+    @nn.compact
+    def __call__(self, inputs):
+        x = _UpSampleChain(self.up_sample_channels, name="chain")(inputs)
+        return _conv3(self.num_bins, "conv1")(x)
+
+
 class SkipNeck(nn.Module):
     """Passthrough/rescale neck (reference skip_neck.py:9)."""
     scales: Optional[Sequence[float]] = None

@@ -197,3 +197,62 @@ def test_cascade_seg_scaffolding():
     v = seg.init(jax.random.PRNGKey(0), img)
     outs = seg.apply(v, img)
     assert [tuple(o.shape) for o in outs] == [(1, 32, 48, 2), (1, 32, 48, 2)]
+
+
+def test_dynamicpe_variant_family_shapes():
+    """The reference's DynamicPENeck experiment family
+    (dynamicpe_neck.py:80-488) — forward shapes + finite outputs + grads
+    flow (except through the deliberately detached Soft2 inputs)."""
+    import jax
+    import jax.numpy as jnp
+    from gedepth_tpu.models import (
+        DynamicPENeckStem, DynamicAttnPENeck, DynamicPENeckBackbone,
+        DynamicPENeckSoft2, DynamicPENeckSoftHRNet, DynamicPENeckSoftDDR,
+        DynamicPENeckHeavy)
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    stem = jnp.asarray(rng.standard_normal((1, 16, 24, 64))
+                       .astype(np.float32))
+
+    m = DynamicPENeckStem(widths=(8, 16, 16, 16, 16), final_channels=32)
+    v = m.init(key, stem)
+    assert m.apply(v, stem).shape == (1, 1)
+
+    m = DynamicAttnPENeck(out_channels=5)
+    v = m.init(key, stem)
+    assert m.apply(v, stem).shape == (1, 5)
+
+    hr = [jnp.asarray(rng.standard_normal((1, 16 // s, 24 // s, c))
+                      .astype(np.float32))
+          for s, c in zip((1, 2, 4, 8), (18, 36, 72, 144))]
+    m = DynamicPENeckBackbone(out_widths=(32, 32, 32, 32),
+                              final_channels=32)
+    v = m.init(key, hr)
+    assert m.apply(v, hr).shape == (1, 9)
+
+    m = DynamicPENeckSoftHRNet(channels=18)
+    v = m.init(key, hr)
+    assert m.apply(v, hr).shape == (1, 16, 24, 11)
+
+    pyr = [jnp.asarray(rng.standard_normal((1, 16 // s, 24 // s, c))
+                       .astype(np.float32))
+           for s, c in zip((1, 1, 2, 4, 8), (64, 16, 32, 64, 128))]
+    m = DynamicPENeckSoft2(channels=16)
+    v = m.init(key, pyr)
+    out = m.apply(v, pyr)
+    assert out.shape == (1, 16, 24, 11)
+    # detached inputs: grads w.r.t. inputs are exactly zero
+    g = jax.grad(lambda xs: m.apply(v, xs).sum())(pyr)
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in g)
+
+    ddr = jnp.asarray(rng.standard_normal((1, 8, 12, 256))
+                      .astype(np.float32))
+    m = DynamicPENeckSoftDDR()
+    v = m.init(key, ddr)
+    assert m.apply(v, ddr).shape == (1, 8, 12, 11)
+
+    m = DynamicPENeckHeavy(up_sample_channels=(16, 16, 32, 64, 128))
+    v = m.init(key, pyr)
+    out = m.apply(v, pyr)
+    assert out.shape[-1] == 11 and np.isfinite(np.asarray(out)).all()
