@@ -392,6 +392,81 @@ def _map_torch_key(k: str):
                                        else "bias"), None)]
         return None
 
+    # ---- DPT decode head (reference dpt_head.py module names) ----
+    m = re.match(r"decode_head\.reassemble_blocks\.readout_projects\.(\d)\."
+                 r"0\.(weight|bias)$", k)
+    if m:
+        t = _lin_w if m.group(2) == "weight" else None
+        return [("params", ("decode_head", f"reassemble{m.group(1)}",
+                            "readout",
+                            "kernel" if m.group(2) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.reassemble_blocks\.projects\.(\d)\.conv\."
+                 r"(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(2) == "weight" else None
+        return [("params", ("decode_head", f"reassemble{m.group(1)}", "proj",
+                            "kernel" if m.group(2) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.reassemble_blocks\.resize_layers\.([013])\."
+                 r"(weight|bias)$", k)
+    if m:
+        i, wb = m.group(1), m.group(2)
+        if i == "3":  # stride-2 conv
+            t = _conv_w if wb == "weight" else None
+            return [("params", ("decode_head", "reassemble3", "resize",
+                                "kernel" if wb == "weight" else "bias"), t)]
+        # ConvTranspose2d k=s implemented as Dense + depth-to-space:
+        # weight (Cin, Cout, k, k) -> dense kernel (Cin, k*k*Cout) ordered
+        # (u, v, o); bias (Cout,) tiles over the k*k positions
+        if wb == "weight":
+            def t(v):
+                cin, cout, kh, kw = v.shape
+                return v.transpose(0, 2, 3, 1).reshape(cin, kh * kw * cout)
+        else:
+            def t(v):
+                k_ = 4 if i == "0" else 2
+                return np.tile(v, k_ * k_)
+        return [("params", ("decode_head", f"reassemble{i}", "resize",
+                            "dense",
+                            "kernel" if wb == "weight" else "bias"), t)]
+    m = re.match(r"decode_head\.convs\.(\d)\.conv\.weight$", k)
+    if m:
+        return [("params", ("decode_head", f"channel_proj{m.group(1)}",
+                            "kernel"), _conv_w)]
+    m = re.match(r"decode_head\.fusion_blocks\.(\d)\.(.*)$", k)
+    if m:
+        # reference applies fusion_blocks[0] to the DEEPEST map; our names
+        # count by scale: fusion_blocks[i] == fusion{3-i}
+        base = ("decode_head", f"fusion{3 - int(m.group(1))}")
+        rest = m.group(2)
+        mm = re.match(r"project\.conv\.(weight|bias)$", rest)
+        if mm:
+            t = _conv_w if mm.group(1) == "weight" else None
+            return [("params", base + ("out",
+                                       "kernel" if mm.group(1) == "weight"
+                                       else "bias"), t)]
+        mm = re.match(r"res_conv_unit([12])\.conv([12])\.conv\.weight$", rest)
+        if mm:
+            return [("params", base + (f"rcu{mm.group(1)}",
+                                       f"conv{mm.group(2)}", "kernel"),
+                     _conv_w)]
+        return None
+    m = re.match(r"decode_head\.project\.conv\.(weight|bias)$", k)
+    if m:
+        t = _conv_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "project",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.conv_depth\.head\.([024])\.(weight|bias)$", k)
+    if m:
+        name = {"0": "head_conv1", "2": "head_conv2",
+                "4": "conv_depth"}[m.group(1)]
+        t = _conv_w if m.group(2) == "weight" else None
+        return [("params", ("decode_head", name,
+                            "kernel" if m.group(2) == "weight" else "bias"),
+                 t)]
+
     m = re.match(r"decode_head\.(reduc\d+x\d+|reduc1x1)\.reduc\.(.*)$", k)
     if m:
         base = ("decode_head", m.group(1))

@@ -13,8 +13,29 @@ from gedepth_tpu.models.layers import torch_conv_kernel_init
 from gedepth_tpu.ops.resize import resize_bilinear
 
 
+class _Deconv(nn.Module):
+    """k=s transposed conv as Dense + depth-to-space — bit-exact torch
+    ConvTranspose2d semantics for non-overlapping kernels (reference
+    dpt_head.py:77-89 resize_layers)."""
+    features: int
+    factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        B, h, w, _ = x.shape
+        f = self.factor
+        x = nn.Dense(f * f * self.features, name="dense")(x)
+        x = x.reshape(B, h, w, f, f, self.features)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(B, h * f, w * f, self.features)
+
+
 class ReassembleBlock(nn.Module):
-    """Project tokens (+cls readout) to a spatial map at a given scale."""
+    """Project tokens (+cls readout) to a spatial map at a given scale.
+
+    Resizing is LEARNED, matching the reference (dpt_head.py:77-96):
+    scale 4/2 -> transposed conv k=s, scale 1 -> identity, scale 0.5 ->
+    stride-2 3x3 conv."""
     features: int
     scale: float  # relative to the patch grid: 4, 2, 1, 0.5
 
@@ -24,28 +45,37 @@ class ReassembleBlock(nn.Module):
         h, w = hw
         cls_tok, grid = tokens[:, :1], tokens[:, 1:]
         # 'project' readout: concat cls to every token then mlp back to C
+        # (the dpt config sets readout_type='project', _base_/models/dpt.py)
         x = jnp.concatenate(
             [grid, jnp.broadcast_to(cls_tok, grid.shape)], axis=-1)
         x = nn.gelu(nn.Dense(C, name="readout")(x))
         x = x.reshape(B, h, w, C)
         x = nn.Conv(self.features, (1, 1),
                     kernel_init=torch_conv_kernel_init, name="proj")(x)
-        th, tw = int(h * self.scale), int(w * self.scale)
-        if (th, tw) != (h, w):
-            x = resize_bilinear(x, (th, tw), align_corners=True)
+        if self.scale >= 2:
+            x = _Deconv(self.features, int(self.scale), name="resize")(x)
+        elif self.scale == 0.5:
+            x = nn.Conv(self.features, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)],
+                        kernel_init=torch_conv_kernel_init,
+                        name="resize")(x)
         return x
 
 
 class ResidualConvUnit(nn.Module):
+    """Pre-act residual unit; convs are bias-free like the reference
+    (dpt_head.py:148-168 ConvModule(bias=False))."""
     features: int
 
     @nn.compact
     def __call__(self, x):
         y = nn.relu(x)
         y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False,
                     kernel_init=torch_conv_kernel_init, name="conv1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False,
                     kernel_init=torch_conv_kernel_init, name="conv2")(y)
         return x + y
 
@@ -91,6 +121,11 @@ class DPTHead(nn.Module):
         x = resize_bilinear(x, maps[0].shape[1:3], align_corners=True)
         x = FeatureFusionBlock(self.channels, name="fusion0")(x, maps[0])
 
+        # post-fusion project conv (reference dpt_head.py:290-295; norm_cfg
+        # is None in the dpt config so this is conv + ReLU)
+        x = nn.relu(nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                            kernel_init=torch_conv_kernel_init,
+                            name="project")(x))
         x = nn.Conv(self.channels // 2, (3, 3), padding=[(1, 1), (1, 1)],
                     kernel_init=torch_conv_kernel_init, name="head_conv1")(x)
         x = resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),

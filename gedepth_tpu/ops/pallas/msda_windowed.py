@@ -97,11 +97,11 @@ def _kernel(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fxw0_ref,
     roff = roff_ref[i]
 
     iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww, _Q_LANES), 0)
+    iot_h = jax.lax.broadcasted_iota(jnp.int32, (wh, _Q_LANES), 0)
 
     for m in range(ntx):
-        amat[...] = jnp.zeros((wh * ww, _Q_LANES), jnp.float32)
-
-        def point(p, _):
+        acc = jnp.zeros((wh, ww, _Q_LANES), jnp.float32)
+        for p in range(plan["P"]):
             wy0 = wy0_ref[0, 0, 0, m, pl.ds(p, 1), :]   # (1, 128) int32
             fy = fy_ref[0, 0, 0, m, pl.ds(p, 1), :]     # (1, 128)
             wx0 = wx0_ref[0, 0, 0, m, pl.ds(p, 1), :]
@@ -110,18 +110,11 @@ def _kernel(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fxw0_ref,
             # (ww, 128): attention-weighted x-corner weights
             wx = ((iot_w == wx0).astype(fxw0.dtype) * fxw0
                   + (iot_w == (wx0 + 1)).astype(fxw0.dtype) * fxw1)
-
-            def row(r, _):
-                wy = ((r == wy0).astype(fy.dtype) * (1.0 - fy)
-                      + (r == (wy0 + 1)).astype(fy.dtype) * fy)  # (1,128)
-                blk = amat[pl.ds(r * ww, ww), :]
-                amat[pl.ds(r * ww, ww), :] = blk + wy * wx
-                return 0
-
-            jax.lax.fori_loop(0, wh, row, 0)
-            return 0
-
-        jax.lax.fori_loop(0, plan["P"], point, 0)
+            # (wh, 128): y-corner weights
+            wy = ((iot_h == wy0).astype(fy.dtype) * (1.0 - fy)
+                  + (iot_h == (wy0 + 1)).astype(fy.dtype) * fy)
+            acc = acc + wy[:, None, :] * wx[None, :, :]
+        amat[...] = acc.reshape(wh * ww, _Q_LANES)
 
         win = band[pl.ds(roff, wh), pl.ds(int(base_x[m]), ww), :d]
         win = win.reshape(wh * ww, d)
