@@ -423,8 +423,11 @@ def _windowed_level_tiled(value, off, w, query_hw, radius: int,
         out = out.reshape(B, h, ntx, TH, TW, d).transpose(0, 3, 2, 4, 1, 5)
         return carry, out.reshape(B, TH, Wqp, h, d)
 
+    # remat the band body: differentiating the scan would otherwise save
+    # every band's A matrix (B*h*ntx*128*win floats per step — measured
+    # 12 GB at the train crop); recomputing A in the backward is cheap
     _, outs = jax.lax.scan(
-        step, None,
+        jax.checkpoint(step, prevent_cse=False), None,
         (off_t, w_t, jnp.asarray(base_y), jnp.asarray(rel_y),
          jnp.asarray(res_y)))
     # (nty, B, TH, Wqp, h, d) -> (B, Hq, Wq, h, d) -> (B, Nq, h, d)
