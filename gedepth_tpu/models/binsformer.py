@@ -19,6 +19,8 @@ import flax.linen as nn
 
 from gedepth_tpu.models.layers import (
     ConvModule, sine_positional_encoding, xavier_uniform_init)
+from gedepth_tpu.models.hahi import (
+    MSDeformAttention, _center_reference_points)
 from gedepth_tpu.ops.resize import resize_bilinear
 
 
@@ -47,16 +49,24 @@ class _DecoderLayer(nn.Module):
 
 
 class _EncoderLayer(nn.Module):
+    """Deformable-DETR encoder layer (reference PureMSDEnTransformer,
+    transformer.py:1129-1240: MSDA self-attention over the multi-scale
+    token stack with grid-center reference points, then FFN; post-norm).
+    Reuses the HAHI MSDeformAttention (which already adds the residual)."""
     dim: int
     num_heads: int = 8
     ff_dim: int = 2048
+    num_points: int = 4
 
     @nn.compact
-    def __call__(self, x, pe):
-        att = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            name="self_attn")(x + pe, x + pe)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + att)
+    def __call__(self, x, pe, reference_points, spatial_shapes,
+                 sampling="bilinear", window_radius=4):
+        att = MSDeformAttention(
+            self.dim, self.num_heads, len(spatial_shapes), self.num_points,
+            dropout=0.0, sampling=sampling, window_radius=window_radius,
+            name="self_attn")(x, x, pe, reference_points, spatial_shapes,
+                              query_shapes=spatial_shapes)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(att)
         ff = nn.Dense(self.ff_dim, name="ffn1")(x)
         ff = nn.Dense(self.dim, name="ffn2")(nn.relu(ff))
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
@@ -78,6 +88,9 @@ class BinsFormerHead(nn.Module):
     num_heads: int = 8
     classify: bool = True
     class_num: int = 25
+    # 'bilinear' keeps reference MSDA semantics; 'windowed' uses the
+    # TPU-native dense sampler (see ops/msda.py)
+    neck_sampling: str = "bilinear"
     min_depth: float = 1e-3
     max_depth: float = 10.0
 
@@ -104,10 +117,16 @@ class BinsFormerHead(nn.Module):
         src = jnp.concatenate(tokens, axis=1)
         src_pe = jnp.concatenate(pes, axis=1)
 
-        # DMS encoder: joint self-attention over all levels
+        # DMS encoder: joint DEFORMABLE self-attention over all levels
+        # (reference builds a PureMSDEnTransformer; grid-center reference
+        # points because the masks are all-valid)
+        ref_enc = (None if self.neck_sampling == "windowed"
+                   else jnp.asarray(_center_reference_points(tuple(shapes))))
         for i in range(self.num_encoder_layers):
             src = _EncoderLayer(cd, self.num_heads,
-                                name=f"encoder{i}")(src, src_pe)
+                                name=f"encoder{i}")(
+                src, src_pe, ref_enc, tuple(shapes),
+                sampling=self.neck_sampling)
 
         # split back per level (coarsest first for round-robin cross-attn)
         per_level = []
