@@ -178,3 +178,15 @@ def test_swin_scan_pairs_matches_loop():
     for a, b in zip(outs_a, outs_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_all_presets_build():
+    """Every named preset constructs its model module (catches config/
+    model-attribute drift without paying init/compile cost)."""
+    from gedepth_tpu.configs import get_config
+    from gedepth_tpu.configs.presets import _PRESETS
+
+    for name in _PRESETS:
+        cfg = get_config(name)
+        model = cfg.model.build()
+        assert model is not None, name
