@@ -44,7 +44,8 @@ class GEDepth(nn.Module):
     neck_embed_dim: int = 512
     neck_num_points: int = 8
     # 'bilinear' (reference semantics) | 'nearest' (cheap approximation) |
-    # 'windowed' (TPU-native dense mode, see ops/msda.py)
+    # 'windowed' (TPU-native dense mode) | 'windowed_compat' (reference
+    # parameter tree + dense windowed sampling; see ops/msda.py, hahi.py)
     neck_sampling: str = "bilinear"
     neck_window_radius: int = 4
     # head

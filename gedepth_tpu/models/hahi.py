@@ -41,6 +41,45 @@ def _msda_offset_bias_init(num_heads, num_levels, num_points, scale=1.0):
     return init
 
 
+def _grid_centers(query_shapes) -> np.ndarray:
+    """Normalized (x, y) affine centers of one or more row-major query
+    grids, concatenated: (sum HW, 2)."""
+    pts = []
+    for (H_, W_) in query_shapes:
+        ys = (np.arange(H_, dtype=np.float32) + 0.5) / H_
+        xs = (np.arange(W_, dtype=np.float32) + 0.5) / W_
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        pts.append(np.stack([gx.reshape(-1), gy.reshape(-1)], axis=-1))
+    return np.concatenate(pts, axis=0)
+
+
+def compat_delta_px(reference_points, offsets, query_shapes, spatial_shapes):
+    """Exact per-sample displacement (in level pixels) from the query's own
+    affine grid center, under the REFERENCE sampling semantics
+    p = ref + off/normalizer (hahi.py:176,300 + mmcv MSDA).
+
+    The 'windowed_compat' mode clamps this displacement to the +-R window;
+    unclamped it reproduces the exact sampling positions bit-for-bit, so
+    callers can also use it to quantify how much clamping distorts a given
+    set of weights (fraction of |delta| > R per level).
+
+    reference_points: (Nq, L, 2) or (B, Nq, L, 2) normalized (x, y).
+    offsets: (B, Nq, h, L, P, 2) in level pixels.
+    Returns (B, Nq, h, L, P, 2) level-pixel displacements.
+    """
+    centers = _grid_centers(query_shapes)                       # (Nq, 2)
+    if reference_points.ndim == 3:
+        ref = reference_points[None]
+    else:
+        ref = reference_points
+    delta_norm = ref - jnp.asarray(centers)[None, :, None, :]   # (B',Nq,L,2)
+    normalizer = np.array([[w_, h_] for (h_, w_) in spatial_shapes],
+                          dtype=np.float32)                     # (L, 2)
+    return (delta_norm[:, :, None, :, None, :]
+            * jnp.asarray(normalizer)[None, None, None, :, None, :]
+            + offsets)
+
+
 class MSDeformAttention(nn.Module):
     """Deformable attention layer (query side); mmcv-compatible params.
 
@@ -48,7 +87,16 @@ class MSDeformAttention(nn.Module):
     reference points are the queries' own grid centers, offsets are bounded
     to +-window_radius level pixels, and sampling is gather-free. It
     requires `query_shapes` — the query token set as one or more row-major
-    grids (one grid per query level)."""
+    grids (one grid per query level).
+
+    sampling='windowed_compat' keeps the REFERENCE parameter tree and
+    sampling formula (learned reference points + unscaled mmcv offset-bias
+    init, p = ref + off/normalizer) but routes the sample through the same
+    dense windowed machinery by hard-clamping the displacement from the
+    query's affine grid center to +-window_radius level pixels. A converted
+    reference checkpoint loads into it unchanged; samples the trained model
+    takes within the window are EXACT bilinear, samples beyond it snap to
+    the window edge (quantified per checkpoint via `compat_delta_px`)."""
     embed_dims: int = 512
     num_heads: int = 8
     num_levels: int = 4
@@ -77,6 +125,7 @@ class MSDeformAttention(nn.Module):
         h, L, P = self.num_heads, self.num_levels, self.num_points
         head_dim = C // h
         windowed = self.sampling == "windowed"
+        compat = self.sampling == "windowed_compat"
 
         value_proj = nn.Dense(C, kernel_init=xavier_uniform_init,
                               name="value_proj")(value)
@@ -104,11 +153,22 @@ class MSDeformAttention(nn.Module):
                 B, H_, W_, h, head_dim))
             start += n
 
-        if windowed:
+        if windowed or compat:
             assert query_shapes is not None, \
                 "windowed sampling needs the query grid(s)"
             R = float(self.window_radius)
-            off_px = R * jnp.tanh(offsets / R)
+            if compat:
+                delta = compat_delta_px(reference_points, offsets,
+                                        query_shapes, spatial_shapes)
+                # attention mass landing outside the window (snapped to the
+                # edge) — the per-checkpoint approximation metric; fetch via
+                # apply(..., mutable=["intermediates"])
+                clamped = (jnp.abs(delta) > R).any(-1).astype(weights.dtype)
+                self.sow("intermediates", "compat_clamp_mass",
+                         jnp.sum(weights * clamped) / (B * Nq * h))
+                off_px = jnp.clip(delta, -R, R)
+            else:
+                off_px = R * jnp.tanh(offsets / R)
             outs = []
             start = 0
             for (Hq, Wq) in query_shapes:
@@ -154,7 +214,14 @@ def _center_reference_points(spatial_shapes) -> np.ndarray:
 
 
 class HAHINeck(nn.Module):
-    """5-scale neck: [conv stem, 4 swin scales] -> same shapes out."""
+    """5-scale neck: [conv stem, 4 swin scales] -> same shapes out.
+
+    sampling: 'bilinear' (exact mmcv semantics) | 'nearest' | 'windowed'
+    (TPU-native dense mode, changed parameter tree) | 'windowed_compat'
+    (reference parameter tree — learned cross-attn reference points,
+    unscaled offset bias — with the displacement clamped into the dense
+    +-window_radius window; loads the same converted checkpoints as
+    'bilinear')."""
     in_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     out_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     embed_dim: int = 512

@@ -93,25 +93,30 @@ class DynamicPENeckGlobal(nn.Module):
 
 
 class DynamicPENeckStem(nn.Module):
-    """Global slope scalar from the conv-stem feature (reference
-    dynamicpe_neck.py:148-249 DynamicPENeck): 1x1 increase -> 4 stride-2
-    ConvModules -> 1x1 to 2048 -> tanh -> global avg pool -> Linear(1)."""
+    """Global slope scalar over the full pyramid (reference
+    dynamicpe_neck.py:148-249 DynamicPENeck): 1x1 increase on the conv stem,
+    then a stride-2 downsample cascade that ADDS each pyramid level
+    (feat = down[i](feat) + inputs[i+1]), a 1x1 to 2048, global avg pool,
+    Linear(1), and tanh LAST — the returned slope is bounded to [-1, 1].
+
+    Expects the 5-scale pyramid [stem@/2, s1@/4 .. s4@/32] whose channel
+    widths match `widths[1:]` (the skip adds are element-wise)."""
     widths: Sequence[int] = (96, 192, 384, 768, 1536)
     final_channels: int = 2048
 
     @nn.compact
-    def __call__(self, stem_feat, train: bool = False):
+    def __call__(self, inputs, train: bool = False):
         x = ConvModule(self.widths[0], kernel_size=1, use_norm=True,
-                       act=nn.relu, name="increase")(stem_feat, train=train)
+                       act=nn.relu, name="increase")(inputs[0], train=train)
         for i in range(len(self.widths) - 1):
             x = ConvModule(self.widths[i + 1], kernel_size=3, stride=2,
                            use_norm=True, act=nn.relu,
                            name=f"down{i}")(x, train=train)
+            x = x + inputs[i + 1]
         x = ConvModule(self.final_channels, kernel_size=1, use_norm=True,
                        act=nn.relu, name="final")(x, train=train)
-        x = jnp.tanh(x)
         x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(1, name="mlp")(x)        # (B, 1) global slope
+        return jnp.tanh(nn.Dense(1, name="mlp")(x))  # (B, 1) global slope
 
 
 class DynamicAttnPENeck(nn.Module):

@@ -231,8 +231,11 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
 
     if impl == "auto":
         # the axon remote-TPU platform reports its own backend name, so
-        # gate on "not cpu" rather than == "tpu"
-        impl = "tiled" if jax.default_backend() == "cpu" else "pallas"
+        # gate on "not a known non-TPU backend" rather than == "tpu";
+        # the Mosaic kernel would crash inside pallas_call on GPU.
+        impl = ("tiled" if jax.default_backend() in ("cpu", "gpu", "cuda",
+                                                     "rocm")
+                else "pallas")
     if impl == "pallas":
         # per-level dispatch: the kernel covers the hot same/coarser-value
         # levels; pairs whose window blows the VMEM budget (coarse query
@@ -316,15 +319,27 @@ import os
 # A-build HBM traffic: win/query 588 -> 216 going from 8x64 to 4x16 at a
 # 1/2-ratio level) at the cost of more scan steps; 4x32 measured best on
 # v5e. Override for sweeps: GEDEPTH_MSDA_TILE="ty,tx".
-_TILE_DEFAULT = tuple(
-    int(v) for v in os.environ.get("GEDEPTH_MSDA_TILE", "4,32").split(","))
+
+
+def _tile_default():
+    raw = os.environ.get("GEDEPTH_MSDA_TILE", "")
+    if raw:
+        try:
+            ty, tx = (int(v) for v in raw.split(","))
+            return ty, tx
+        except ValueError:
+            import warnings
+            warnings.warn(
+                f"ignoring malformed GEDEPTH_MSDA_TILE={raw!r} "
+                "(expected 'ty,tx'); using (4, 32)")
+    return 4, 32
 
 
 def _pick_tile(hq, wq, hv, wv, radius):
     """Query-tile shape such that the value window stays small even when the
     value level is finer than the query grid (window grows with the
     value/query ratio)."""
-    ty0, tx0 = _TILE_DEFAULT
+    ty0, tx0 = _tile_default()
     ty = max(1, min(ty0, (2 * ty0 * hq) // max(hv, 1)))
     tx = max(1, min(tx0, (tx0 * wq) // max(wv, 1)))
     return min(ty, hq), min(tx, wq)

@@ -416,13 +416,13 @@ class TorchGEDepth(nn.Module):
         return F.interpolate(d, (H, W), mode="bilinear", align_corners=True)
 
 
-def _build_jax_model(variant):
+def _build_jax_model(variant, **kw):
     return GEDepth(
         embed_dims=EMBED, depths=DEPTHS, num_heads=HEADS, window=WINDOW,
         drop_path_rate=0.0, neck_channels=NECK_CH, neck_embed_dim=NECK_EMBED,
         neck_num_points=NECK_POINTS, head_channels=16,
         min_depth=MIN_D, max_depth=MAX_D, pe_variant=variant,
-        depth_scale=DEPTH_SCALE, default_cam_height=CAM_H)
+        depth_scale=DEPTH_SCALE, default_cam_height=CAM_H, **kw)
 
 
 def _rand_batch(rng, flip=False):
@@ -474,3 +474,87 @@ def test_full_model_composite_parity(variant):
     got_tta = 0.5 * (got + np.asarray(got_f).transpose(0, 3, 1, 2)
                      [:, :, :, ::-1])
     np.testing.assert_allclose(got_tta, want_tta, rtol=1e-3, atol=2e-3)
+
+
+def _converted_variables(tm, jm, img, ch):
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    params, stats, unmapped = convert_state_dict(sd)
+    assert not unmapped, f"converter missed keys: {unmapped[:8]}"
+    variables = jm.init(jax.random.PRNGKey(0), jnp.asarray(img), ch)
+    merged_p, miss_p = _merge_into(variables["params"], params)
+    merged_s, miss_s = _merge_into(variables["batch_stats"], stats)
+    assert not miss_p, f"params not covered: {miss_p[:8]}"
+    assert not miss_s, f"stats not covered: {miss_s[:8]}"
+    return {"params": merged_p, "batch_stats": merged_s}
+
+
+def test_windowed_compat_checkpoint_parity():
+    """VERDICT round-2 item 1: the 'windowed_compat' sampling mode must
+    (a) have the SAME parameter tree as the exact config — a converted
+        reference state dict loads into it with zero missing keys;
+    (b) with a window radius covering the whole level, reproduce the exact
+        gather path (and the torch reference) — the windowed machinery is
+        then exact bilinear, proving the compat formula p = ref + off
+        re-based onto grid centers is correct;
+    (c) at a production radius, report the quantified approximation:
+        attention mass clamped to the window edge + end-to-end depth delta.
+    """
+    torch.manual_seed(0)
+    tm = TorchGEDepth("adaptive").eval()
+    for m in tm.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+
+    rng = np.random.default_rng(1)
+    img = _rand_batch(rng)
+    ch = jnp.full((2,), CAM_H, jnp.float32)
+
+    exact = _build_jax_model("adaptive")
+    v_exact = _converted_variables(tm, exact, img, ch)
+
+    # (a) identical parameter tree: same paths, same shapes
+    wide = _build_jax_model("adaptive", neck_sampling="windowed_compat",
+                            neck_window_radius=64)
+    v_wide = wide.init(jax.random.PRNGKey(0), jnp.asarray(img), ch)
+    flat_e = jax.tree_util.tree_flatten_with_path(v_exact["params"])[0]
+    flat_c = jax.tree_util.tree_flatten_with_path(v_wide["params"])[0]
+    assert [(p, x.shape) for p, x in flat_e] == \
+        [(p, x.shape) for p, x in flat_c]
+    v_wide = {"params": v_exact["params"],
+              "batch_stats": v_exact["batch_stats"]}
+
+    # (b) radius covering every level => exact equivalence
+    with torch.no_grad():
+        want = tm(torch.from_numpy(img.transpose(0, 3, 1, 2))).numpy()
+    got_exact = np.asarray(exact.apply(
+        v_exact, jnp.asarray(img), ch,
+        method=exact.predict_depth)).transpose(0, 3, 1, 2)
+    got_wide = np.asarray(wide.apply(
+        v_wide, jnp.asarray(img), ch,
+        method=wide.predict_depth)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got_wide, want, rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(got_wide, got_exact, rtol=1e-3, atol=2e-3)
+
+    # (c) production radius: quantify the clamp
+    prod = _build_jax_model("adaptive", neck_sampling="windowed_compat",
+                            neck_window_radius=8)
+    got_prod, inter = prod.apply(
+        v_wide, jnp.asarray(img), ch, method=prod.predict_depth,
+        mutable=["intermediates"])
+    got_prod = np.asarray(got_prod).transpose(0, 3, 1, 2)
+    masses = {
+        jax.tree_util.keystr(p): float(np.asarray(x))
+        for p, x in jax.tree_util.tree_flatten_with_path(
+            inter["intermediates"])[0] if "compat_clamp_mass" in str(p)}
+    assert masses, "clamp-mass telemetry missing"
+    rel = np.abs(got_prod - got_exact) / np.maximum(got_exact, MIN_D)
+    print(f"windowed_compat R=8 (synthetic-weight proxy): "
+          f"clamp mass per attn = { {k: round(v, 4) for k, v in masses.items()} }, "
+          f"depth delta mean={rel.mean():.4f} p99="
+          f"{np.percentile(rel, 99):.4f}")
+    # synthetic weights scatter reference points widely; a trained model
+    # concentrates them (quantify again on a real converted checkpoint).
+    # Bounds here are sanity rails, not accuracy claims.
+    assert all(0.0 <= v <= 1.0 for v in masses.values())
+    assert np.isfinite(got_prod).all()

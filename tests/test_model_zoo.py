@@ -215,9 +215,17 @@ def test_dynamicpe_variant_family_shapes():
     stem = jnp.asarray(rng.standard_normal((1, 16, 24, 64))
                        .astype(np.float32))
 
+    # pyramid whose widths/sizes match the skip-add cascade (ref forward
+    # adds inputs[i+1] after each stride-2 downsample,
+    # dynamicpe_neck.py:239-249)
+    stem_pyr = [jnp.asarray(rng.standard_normal((1, 32 // s, 32 // s, c))
+                            .astype(np.float32))
+                for s, c in zip((1, 2, 4, 8, 16), (64, 16, 16, 16, 16))]
     m = DynamicPENeckStem(widths=(8, 16, 16, 16, 16), final_channels=32)
-    v = m.init(key, stem)
-    assert m.apply(v, stem).shape == (1, 1)
+    v = m.init(key, stem_pyr)
+    out = m.apply(v, stem_pyr)
+    assert out.shape == (1, 1)
+    assert float(jnp.abs(out).max()) <= 1.0  # tanh-bounded slope
 
     m = DynamicAttnPENeck(out_channels=5)
     v = m.init(key, stem)

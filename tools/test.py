@@ -29,6 +29,10 @@ def main():
                              " intent): ratios x flip, predictions averaged")
     parser.add_argument("--aug-ratios", default="0.5,0.75,1.0,1.25,1.5,1.75",
                         help="comma-separated ratios for --aug-test")
+    parser.add_argument("--device-metrics", action="store_true",
+                        help="compute the 9 per-image metrics on device "
+                             "(batched masked reductions) instead of on "
+                             "the host; same numbers, less host math")
     parser.add_argument("--show-dir", default=None,
                         help="dump colorized depth maps here")
     parser.add_argument("--format-only", action="store_true")
@@ -67,7 +71,8 @@ def main():
     evaluator = Evaluator(model, test_ds, cfg.data,
                           batch_size=args.batch_size,
                           flip_tta=False if args.no_tta else None,
-                          ms_ratios=ms_ratios)
+                          ms_ratios=ms_ratios,
+                          device_metrics=args.device_metrics)
 
     on_prediction = None
     if args.format_only or args.show_dir:
