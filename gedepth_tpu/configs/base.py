@@ -33,7 +33,10 @@ class ModelConfig:
     neck_embed_dim: int = 512
     neck_num_points: int = 8
     # 'bilinear' (reference semantics) | 'nearest' | 'windowed' (TPU-native
-    # dense fast mode; see gedepth_tpu/ops/msda.py)
+    # dense fast mode, train-from-scratch parameter tree) |
+    # 'windowed_compat' (reference parameter tree + dense windowed sampling
+    # with clamped displacements — loads converted reference checkpoints;
+    # see gedepth_tpu/ops/msda.py and models/hahi.py)
     neck_sampling: str = "bilinear"
     neck_window_radius: int = 4
     # head
@@ -47,6 +50,19 @@ class ModelConfig:
     default_cam_height: float = 1.65
 
     def build(self):
+        if self.arch == "seg":
+            # ocrnet_hr18 analogue (reference
+            # configs/_base_/models/ocrnet_hr18.py): HRNet + FCN/OCR
+            # cascade on the PE ground-mask task. ocr channel widths scale
+            # with head_channels (default 64 -> the reference 512/256).
+            from gedepth_tpu.models.segmentation import SegOCRNet
+            return SegOCRNet(
+                backbone_arch=self.backbone_variant or "w18",
+                ocr_channels=8 * self.head_channels,
+                ocr_key_channels=4 * self.head_channels,
+                pe_variant=self.pe_variant,
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                default_cam_height=self.default_cam_height)
         if self.arch != "gedepth":
             from gedepth_tpu.models.zoo import ZooDepther
             return ZooDepther(

@@ -60,6 +60,20 @@ _PRESETS = {
         model=ModelConfig(pe_variant="adaptive", neck_sampling="windowed",
                           swin_scan=True),
         data=_kitti_data()),
+    # Checkpoint-compatible fast mode: the REFERENCE parameter tree
+    # (learned cross-attn reference points, unscaled mmcv offset bias —
+    # loads the same converted .pth state dicts as 'gedepth_adaptive_kitti')
+    # routed through the dense windowed Pallas sampler by clamping each
+    # sample's displacement from its query grid center to +-radius level
+    # pixels (models/hahi.py windowed_compat). Radius 8 covers the mmcv
+    # offset-bias init reach; the approximation vs the exact gather path is
+    # quantified in tests/test_composite_parity.py.
+    "gedepth_adaptive_kitti_compat": lambda: ExperimentConfig(
+        name="gedepth_adaptive_kitti_compat",
+        model=ModelConfig(pe_variant="adaptive",
+                          neck_sampling="windowed_compat",
+                          neck_window_radius=8),
+        data=_kitti_data()),
     # configs/depthformer/depthformer_v_ddad.py
     "gedepth_vanilla_ddad": lambda: ExperimentConfig(
         name="gedepth_vanilla_ddad", model=_ddad_model("vanilla"),
@@ -102,6 +116,15 @@ _PRESETS = {
         name="densedepth_kitti",
         model=ModelConfig(arch="densedepth", backbone_variant="50",
                           head_channels=128, max_depth=80.0),
+        data=_kitti_data()),
+    # OCRNet-HR18 (_base_/models/ocrnet_hr18.py): HRNet-W18 + FCN/OCR
+    # cascade on the PE ground-mask segmentation task (the in-tree seg use;
+    # eval = mask mIoU via SegEvaluator). pe_variant='vanilla' makes the
+    # data layer load the PE channel the labels derive from.
+    "ocrnet_hr18_kitti": lambda: ExperimentConfig(
+        name="ocrnet_hr18_kitti",
+        model=ModelConfig(arch="seg", backbone_variant="w18",
+                          head_channels=64, pe_variant="vanilla"),
         data=_kitti_data()),
     # Swin-T smoke config on synthetic data (tests / CI / benchmarks)
     "smoke_synthetic": lambda: ExperimentConfig(

@@ -43,7 +43,97 @@ def build_test_pipeline(data_cfg):
     return Compose([Normalize(depth_scale=200.0)])
 
 
+class SegEvaluator:
+    """Ground-mask segmentation eval (arch='seg', ocrnet_hr18 analogue).
+
+    Mirrors the reference's dormant mask-PE IoU machinery
+    (kitti.py:27-98,387-461): per-image intersection/union per class
+    against the PE ground mask derived from the sample's PE channel and
+    the lidar GT (same 3%-agreement formula the training labels use),
+    aggregated into mIoU / per-class IoU / pixel accuracy. Only pixels
+    with valid lidar are scored.
+    """
+
+    key_metric = "miou"
+    rule = "greater"
+
+    def __init__(self, model, dataset, data_cfg, batch_size=1):
+        self.model = model
+        self.dataset = dataset
+        self.data_cfg = data_cfg
+        self.batch_size = batch_size
+        self.pipeline = build_test_pipeline(data_cfg)
+        self.depth_scale = 250.0 if data_cfg.dataset == "ddad" else 200.0
+
+    def run(self, params, batch_stats, max_images=None, progress=None,
+            on_prediction=None, compute_metrics=True):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+
+        @jax.jit
+        def seg_step(params, batch_stats, img, ch):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, img, ch, False)
+            return jnp.argmax(out["seg_logits"][-1], axis=-1)
+
+        n_cls = self.model.num_classes
+        inter = np.zeros(n_cls)
+        union = np.zeros(n_cls)
+        correct = total = 0
+        done = 0
+        loader = EvalLoader(self.dataset, self.pipeline, self.batch_size)
+        for batch, valid in loader:
+            preds = np.asarray(seg_step(
+                params, batch_stats, jnp.asarray(batch["img"]),
+                jnp.asarray(batch["cam_height"])
+                if "cam_height" in batch else None))
+            for row in range(preds.shape[0]):
+                if not valid[row]:
+                    continue
+                index = int(batch["index"][row])
+                if on_prediction is not None:
+                    on_prediction(index, preds[row])
+                img = batch["img"][row]
+                if hasattr(self.dataset, "load_gt"):
+                    gt = self.dataset.load_gt(index)
+                else:
+                    gt = self.dataset[index].get("depth_gt")
+                if gt is None or not compute_metrics:
+                    continue
+                if gt.shape != preds[row].shape:  # kitti full-res GT
+                    gt = eval_kb_crop(gt, *self.data_cfg.eval_size)
+                pe = img[..., 3] * self.depth_scale
+                label = ((np.abs(pe - gt) <= 0.03 * gt) & (gt > 0))
+                vmask = gt > 0
+                p, l = preds[row][vmask], label[vmask].astype(np.int64)
+                for c in range(n_cls):
+                    inter[c] += np.sum((p == c) & (l == c))
+                    union[c] += np.sum((p == c) | (l == c))
+                correct += np.sum(p == l)
+                total += p.size
+                done += 1
+                if progress is not None and done % progress == 0:
+                    print(f"  eval {done}/{len(self.dataset)}", flush=True)
+                if max_images is not None and done >= max_images:
+                    break
+            if max_images is not None and done >= max_images:
+                break
+        iou = inter / np.maximum(union, 1)
+        agg = {"miou": float(iou.mean()),
+               "acc": float(correct / max(total, 1))}
+        for c in range(n_cls):
+            agg[f"iou_cls{c}"] = float(iou[c])
+        return agg, []
+
+
 class Evaluator:
+    key_metric = "abs_rel"
+    rule = "less"
+
     def __init__(self, model, dataset, data_cfg, batch_size=1,
                  flip_tta=None, ms_ratios=(), device_metrics=False):
         """ms_ratios: extra multi-scale TTA ratios (reference --aug-test);

@@ -23,10 +23,11 @@ from gedepth_tpu.data import (
     RandomFlip, RandomCrop, ColorAug, Normalize, DDADResize, TrainLoader,
     SyntheticGroundDataset, KittiDataset, DDADDataset, NYUDataset)
 from gedepth_tpu.eval import Evaluator
+from gedepth_tpu.eval.evaluator import SegEvaluator
 from gedepth_tpu.parallel import create_mesh_for_batch, shard_batch
 from gedepth_tpu.train.optim import make_optimizer
 from gedepth_tpu.train.state import create_train_state
-from gedepth_tpu.train.steps import make_train_step
+from gedepth_tpu.train.steps import make_seg_train_step, make_train_step
 from gedepth_tpu.train.checkpoint import save_checkpoint, save_params_only
 
 
@@ -188,12 +189,18 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             params=overlay_backbone(state.params, src))
         print(f"overlaid backbone from {load_backbone_from}", flush=True)
 
-    train_step = make_train_step(
-        model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight)
-    evaluator = Evaluator(model, test_ds, cfg.data)
+    if getattr(model, "arch", "") == "seg":
+        train_step = make_seg_train_step(model, cfg.model.depth_scale)
+        evaluator = SegEvaluator(model, test_ds, cfg.data)
+    else:
+        train_step = make_train_step(
+            model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight)
+        evaluator = Evaluator(model, test_ds, cfg.data)
+    key = evaluator.key_metric
+    sign = 1.0 if evaluator.rule == "less" else -1.0
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
-    best = {"abs_rel": float("inf")}
+    best = {key: sign * float("inf")}
     t_last = time.time()
     step0 = int(state.step)
     batch = first
@@ -221,11 +228,12 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             agg_rec.update(iter=it + 1, mode="val")
             logger.log(agg_rec)
             tb.scalars(it + 1, agg_rec, prefix="val/")
-            print(f"eval @ {it+1}: abs_rel={agg['abs_rel']:.4f} "
-                  f"rmse={agg['rmse']:.3f}", flush=True)
-            if agg["abs_rel"] < best["abs_rel"]:
+            print(f"eval @ {it+1}: " + " ".join(
+                f"{k}={agg[k]:.4f}" for k in (key, "rmse", "acc")
+                if k in agg), flush=True)
+            if sign * agg[key] < sign * best.get(key, float("inf")):
                 best = dict(agg_rec)
-                save_params_only(osp.join(work_dir, "best_abs_rel.npz"),
+                save_params_only(osp.join(work_dir, f"best_{key}.npz"),
                                  state.params, state.batch_stats)
 
         if (it + 1) % cfg.train.checkpoint_interval == 0 or is_last:

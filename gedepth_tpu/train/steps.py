@@ -68,6 +68,67 @@ def make_train_step(model, sig_loss_weight: float = 1.0,
     return train_step
 
 
+def ground_mask_labels(img, depth_gt, depth_scale: float):
+    """Ground-mask classes from the PE prior vs lidar GT, in-jit
+    (reference loading.py:337-351 mask semantics, same formula as
+    models.pretrain.ground_mask_gt): class 1 where |pe - gt|/gt <= 3% and
+    gt > 0, else class 0. `img` channel 3 is pe/depth_scale post-Normalize.
+    """
+    pe = img[..., 3] * depth_scale
+    err = jnp.where(depth_gt > 0,
+                    jnp.abs(pe - depth_gt) / jnp.maximum(depth_gt, 1e-6),
+                    jnp.inf)
+    return (err <= 0.03).astype(jnp.int32)
+
+
+def make_seg_train_step(model, depth_scale: float = 200.0,
+                        aux_weight: float = 0.4, donate: bool = True):
+    """Train step for arch='seg' (the ocrnet_hr18 analogue).
+
+    Cascade CE: stage weights 0.4 (FCN aux) / 1.0 (OCR final) per the
+    reference base config (configs/_base_/models/ocrnet_hr18.py
+    loss_decode.loss_weight); per-class weights (0.2, 1.0) matching the
+    in-tree ground-mask task (reference maskpe_head.py:83). Labels are the
+    PE ground mask derived on the fly from the batch (`ground_mask_labels`).
+    """
+    from gedepth_tpu.models.pretrain import weighted_ce_ignore
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mutated = model.apply(
+            variables, batch["img"], batch.get("cam_height"), True,
+            rngs={"dropout": rng}, mutable=mutable)
+        new_stats = mutated.get("batch_stats", batch_stats)
+
+        labels = ground_mask_labels(batch["img"], batch["depth_gt"],
+                                    depth_scale)
+        logits = out["seg_logits"]
+        stage_w = ([aux_weight] * (len(logits) - 1)) + [1.0]
+        metrics = {}
+        total = 0.0
+        for i, (lw, lg) in enumerate(zip(stage_w, logits)):
+            li = lw * weighted_ce_ignore(lg, labels)
+            metrics[f"loss_seg{i}"] = li
+            total = total + li
+        metrics["loss"] = total
+        return total, (new_stats, metrics)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, metrics
+
+    return train_step
+
+
 def optax_global_norm(tree):
     leaves = jax.tree.leaves(tree)
     return jnp.sqrt(sum(jnp.sum(x.astype(jnp.float32) ** 2) for x in leaves))
@@ -97,6 +158,16 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False,
     LoadKITTICamIntrinsic, i.e. multi-ratio TTA is silently broken there —
     it only ever worked for the toolbox configs; we implement what it
     intended). Each ratio is its own static shape, hence its own jit.
+
+    PE caveat: the scaled view bilinearly resizes ALL 5 channels, including
+    the geometry-derived PE planes (ch 3/4), while cam_height passes through
+    unchanged. Resizing the whole image uniformly preserves the pinhole
+    ground-plane equation only approximately (the principal point shifts by
+    <1 px from the /32 snap), so scaled views feed a slightly inconsistent
+    ground prior. Multi-ratio --aug-test is therefore validated for the
+    non-PE configs; for PE configs prefer flip-only TTA (the protocol used
+    by the reference's shipped numbers) or re-generate PE at the scaled
+    intrinsics offline.
     """
 
     @jax.jit

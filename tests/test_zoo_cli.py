@@ -24,6 +24,7 @@ _SHRINK = {
                        "model.backbone_embed_dims=24"],
     "densedepth_kitti": ["model.head_channels=8",
                          "model.backbone_variant=18"],
+    "ocrnet_hr18_kitti": ["model.head_channels=8"],
 }
 
 
@@ -52,7 +53,7 @@ def test_zoo_preset_trains_and_evals_via_cli(preset, tmp_path, monkeypatch):
     assert log.exists(), "training produced no JSONL log"
     records = [json.loads(l) for l in log.read_text().splitlines()]
     losses = [r["loss"] for r in records if "loss" in r]
-    evals = [r for r in records if "abs_rel" in r]
+    evals = [r for r in records if "abs_rel" in r or "miou" in r]
     assert losses, "no train loss logged"
     assert all(float(l) == float(l) for l in losses), "NaN loss"
     assert evals, "no eval metrics logged"
