@@ -479,6 +479,122 @@ def _map_torch_key(k: str):
         if rest == "final.0.weight":
             return [("params", base + ("final", "kernel"), _conv_w)]
         return None
+
+    # ---- BinsFormer decode head (reference binsformer_head.py:33 +
+    #      utils/transformer.py PureMSDEnTransformer/PixelTransformerDecoder
+    #      module names) ----
+    m = re.match(r"decode_head\.(skip_proj|lateral_convs|output_convs)\."
+                 r"(\d+)\.(.*)$", k)
+    if m:
+        name = {"skip_proj": "skip_proj", "lateral_convs": "lateral",
+                "output_convs": "output"}[m.group(1)]
+        return convmodule(("decode_head", f"{name}{m.group(2)}"), m.group(3))
+    if k == "decode_head.level_embed.weight":
+        return [("params", ("decode_head", "level_embed"), None)]
+    if k in ("decode_head.query_feat.weight",
+             "decode_head.query_embed.weight"):
+        name = k.split(".")[1]
+        return [("params", ("decode_head", name), None)]
+    if k == "decode_head.transformer_encoder.level_embeds":
+        return [("params", ("decode_head", "enc_level_embed"), None)]
+    if re.match(r"decode_head\.transformer_encoder\.reference_points\.", k):
+        return []  # created by PureMSDEnTransformer.init_layers, unused in
+        # its encoder-only forward (transformer.py:1146,1227-1267)
+    m = re.match(r"decode_head\.transformer_encoder\.encoder\.layers\.(\d+)"
+                 r"\.(.*)$", k)
+    if m:
+        base = ("decode_head", f"encoder{m.group(1)}")
+        rest = m.group(2)
+        mm = re.match(r"attentions\.0\.(sampling_offsets|attention_weights|"
+                      r"value_proj|output_proj)\.(weight|bias)$", rest)
+        if mm:
+            t = _lin_w if mm.group(2) == "weight" else None
+            return [("params", base + ("self_attn", mm.group(1),
+                                       "kernel" if mm.group(2) == "weight"
+                                       else "bias"), t)]
+        mm = re.match(r"ffns\.0\.layers\.(0\.0|1)\.(weight|bias)$", rest)
+        if mm:
+            name = "ffn1" if mm.group(1) == "0.0" else "ffn2"
+            t = _lin_w if mm.group(2) == "weight" else None
+            return [("params", base + (name, "kernel" if mm.group(2) ==
+                                       "weight" else "bias"), t)]
+        mm = re.match(r"norms\.(\d)\.(weight|bias)$", rest)
+        if mm:
+            return [("params", base + (f"norm{int(mm.group(1)) + 1}",
+                                       "scale" if mm.group(2) == "weight"
+                                       else "bias"), None)]
+        return None
+
+    def _mha_split(base, rest, nh):
+        """mmcv MultiheadAttention (torch packed in_proj) -> flax
+        MultiHeadDotProductAttention query/key/value/out params."""
+        def _part(which, is_bias):
+            def t(v):
+                e = v.shape[0] // 3
+                part = v[which * e:(which + 1) * e]
+                if is_bias:
+                    return part.reshape(nh, e // nh)
+                return part.transpose(1, 0).reshape(e, nh, e // nh)
+            return t
+
+        if rest == "attn.in_proj_weight":
+            return [("params", base + (nm, "kernel"), _part(i, False))
+                    for i, nm in enumerate(("query", "key", "value"))]
+        if rest == "attn.in_proj_bias":
+            return [("params", base + (nm, "bias"), _part(i, True))
+                    for i, nm in enumerate(("query", "key", "value"))]
+        if rest == "attn.out_proj.weight":
+            return [("params", base + ("out", "kernel"),
+                     lambda v: v.transpose(1, 0).reshape(
+                         nh, v.shape[1] // nh, v.shape[0]))]
+        if rest == "attn.out_proj.bias":
+            return [("params", base + ("out", "bias"), None)]
+        return None
+
+    m = re.match(r"decode_head\.transformer_decoder\.layers\.(\d+)\.(.*)$",
+                 k)
+    if m:
+        base = ("decode_head", f"decoder{m.group(1)}")
+        rest = m.group(2)
+        # operation order ('cross_attn','norm','self_attn','norm','ffn',
+        # 'norm') => attentions.0 = cross, attentions.1 = self
+        mm = re.match(r"attentions\.([01])\.(attn\..*)$", rest)
+        if mm:
+            name = "cross_attn" if mm.group(1) == "0" else "self_attn"
+            return _mha_split(base + (name,), mm.group(2), 8)
+        mm = re.match(r"ffns\.0\.layers\.(0\.0|1)\.(weight|bias)$", rest)
+        if mm:
+            name = "ffn1" if mm.group(1) == "0.0" else "ffn2"
+            t = _lin_w if mm.group(2) == "weight" else None
+            return [("params", base + (name, "kernel" if mm.group(2) ==
+                                       "weight" else "bias"), t)]
+        mm = re.match(r"norms\.(\d)\.(weight|bias)$", rest)
+        if mm:
+            return [("params", base + (f"norm{int(mm.group(1)) + 1}",
+                                       "scale" if mm.group(2) == "weight"
+                                       else "bias"), None)]
+        return None
+    m = re.match(r"decode_head\.transformer_decoder\.decoder_norm\."
+                 r"(weight|bias)$", k)
+    if m:
+        return [("params", ("decode_head", "decoder_norm",
+                            "scale" if m.group(1) == "weight" else "bias"),
+                 None)]
+    m = re.match(r"decode_head\.transformer_decoder\.bins_embed\."
+                 r"(weight|bias)$", k)
+    if m:
+        t = _lin_w if m.group(1) == "weight" else None
+        return [("params", ("decode_head", "bins_embed",
+                            "kernel" if m.group(1) == "weight" else "bias"),
+                 t)]
+    m = re.match(r"decode_head\.transformer_decoder\.(mask_embed|"
+                 r"class_embed)\.layers\.(\d)\.(weight|bias)$", k)
+    if m:
+        t = _lin_w if m.group(3) == "weight" else None
+        return [("params", ("decode_head", m.group(1),
+                            f"layers{m.group(2)}",
+                            "kernel" if m.group(3) == "weight" else "bias"),
+                 t)]
     return None
 
 

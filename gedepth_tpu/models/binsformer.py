@@ -1,12 +1,22 @@
 """BinsFormer decode head (reference
-depth/models/decode_heads/binsformer_head.py + the PixelTransformerDecoder in
-depth/models/utils/transformer.py; Li et al. 2022).
+depth/models/decode_heads/binsformer_head.py:33 + PureMSDEnTransformer /
+PixelTransformerDecoder in depth/models/utils/transformer.py:1129,1543;
+Li et al. 2022).
 
-Double-stream design: an FPN pixel decoder produces a per-pixel feature map;
-bin queries cross-attend multi-scale features round-robin over the decoder
-layers, each layer emitting (adaptive bin widths, per-pixel bin logits,
-optional scene-class logits); depth = softmax(logits) . bin centers. All
-decoder layers' outputs are returned for DETR-style auxiliary losses.
+Double-stream design: a deformable multi-scale (DMS) encoder self-attends
+the mid pyramid levels; an FPN pixel decoder produces the per-pixel feature
+map (seeded, as in the reference, by the finest encoder output); bin
+queries cross-attend the encoder levels round-robin over 9 decoder layers,
+each layer emitting (adaptive bin widths, per-pixel bin logits, optional
+scene-class logits) through SHARED prediction heads
+(transformer.py:1594-1600: one bins_embed Linear, one 3-layer mask_embed
+MLP, one 3-layer class_embed MLP, one decoder_norm for all layers); depth =
+softmax(logits) . bin centers. The class query is query index 0
+(transformer.py:1611-1617). All decoder layers' outputs are returned for
+DETR-style auxiliary losses.
+
+Torch cross-checked end-to-end through the checkpoint converter
+(tests/test_parity_binsformer.py).
 """
 from __future__ import annotations
 
@@ -24,39 +34,19 @@ from gedepth_tpu.models.hahi import (
 from gedepth_tpu.ops.resize import resize_bilinear
 
 
-class _DecoderLayer(nn.Module):
-    """masked-attention-style decoder layer: cross-att -> self-att -> FFN
-    (pre-residual, post-LN like the reference's DETR blocks)."""
-    dim: int
-    num_heads: int = 8
-    ff_dim: int = 2048
-
-    @nn.compact
-    def __call__(self, queries, query_pe, memory, memory_pe):
-        q = queries + query_pe
-        att = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            name="cross_attn")(q, memory + memory_pe)
-        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries + att)
-        q = queries + query_pe
-        att = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim,
-            name="self_attn")(q, q)
-        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries + att)
-        ff = nn.Dense(self.ff_dim, name="ffn1")(queries)
-        ff = nn.Dense(self.dim, name="ffn2")(nn.relu(ff))
-        return nn.LayerNorm(epsilon=1e-5, name="norm3")(queries + ff)
+def _leaky(x):
+    return nn.leaky_relu(x, negative_slope=0.01)
 
 
 class _EncoderLayer(nn.Module):
-    """Deformable-DETR encoder layer (reference PureMSDEnTransformer,
-    transformer.py:1129-1240: MSDA self-attention over the multi-scale
-    token stack with grid-center reference points, then FFN; post-norm).
+    """Deformable-DETR encoder layer (reference PureMSDEnTransformer with
+    mmcv BaseTransformerLayer order ('self_attn','norm','ffn','norm'),
+    configs/_base_/models/binsformer.py: MSDA num_points 8, FFN 1024).
     Reuses the HAHI MSDeformAttention (which already adds the residual)."""
     dim: int
     num_heads: int = 8
-    ff_dim: int = 2048
-    num_points: int = 4
+    ff_dim: int = 1024
+    num_points: int = 8
 
     @nn.compact
     def __call__(self, x, pe, reference_points, spatial_shapes,
@@ -72,8 +62,49 @@ class _EncoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ff)
 
 
+class _DecoderLayer(nn.Module):
+    """PixelTransformerDecoderLayer (transformer.py:1300-1527), operation
+    order ('cross_attn','norm','self_attn','norm','ffn','norm'), post-norm.
+    mmcv MultiheadAttention semantics: positional encodings are added to
+    query and key only — the VALUE stream is the raw feature."""
+    dim: int
+    num_heads: int = 8
+    ff_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, queries, query_pe, memory, memory_pe):
+        att = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            name="cross_attn")(queries + query_pe, memory + memory_pe,
+                               inputs_v=memory)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm1")(queries + att)
+        att = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.dim,
+            name="self_attn")(queries + query_pe, queries + query_pe,
+                              inputs_v=queries)
+        queries = nn.LayerNorm(epsilon=1e-5, name="norm2")(queries + att)
+        ff = nn.Dense(self.ff_dim, name="ffn1")(queries)
+        ff = nn.Dense(self.dim, name="ffn2")(nn.relu(ff))
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(queries + ff)
+
+
+class _MLP3(nn.Module):
+    """transformer.py MLP: Linear-ReLU x2 -> Linear."""
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.hidden, name="layers0")(x))
+        x = nn.relu(nn.Dense(self.hidden, name="layers1")(x))
+        return nn.Dense(self.out, name="layers2")(x)
+
+
 class BinsFormerHead(nn.Module):
-    """Inputs: 5-scale pyramid fine->coarse.
+    """Inputs: multi-scale pyramid fine->coarse (the reference toolbox
+    config uses the 4 Swin scales; the zoo wrapper feeds 5 incl. the conv
+    stem — `trans_index` selects the attention levels and the FPN covers
+    the first len(trans_index) scales, binsformer_head.py:113-135).
 
     Returns a list (one per decoder layer, last = final) of dicts:
       depth (B, h, w, 1), bin_edges (B, n_bins+1),
@@ -83,9 +114,12 @@ class BinsFormerHead(nn.Module):
     conv_dim: int = 256
     n_bins: int = 64
     trans_index: Sequence[int] = (2, 3, 4)
-    num_encoder_layers: int = 3
+    num_encoder_layers: int = 6
     num_decoder_layers: int = 9
     num_heads: int = 8
+    enc_num_points: int = 8
+    enc_ff_dim: int = 1024
+    dec_ff_dim: int = 2048
     classify: bool = True
     class_num: int = 25
     # 'bilinear' keeps reference MSDA semantics; 'windowed' uses the
@@ -97,65 +131,82 @@ class BinsFormerHead(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         cd = self.conv_dim
+        L = len(self.trans_index)
         # ---- multi-scale tokens for the transformer stream ----
+        # skip_proj: ConvModule(norm, LeakyReLU) — binsformer_head.py:104
         trans_feats = [
-            ConvModule(cd, kernel_size=1, use_norm=True, act=nn.relu,
+            ConvModule(cd, kernel_size=1, use_norm=True, act=_leaky,
                        name=f"skip_proj{i}")(inputs[idx], train=train)
             for i, idx in enumerate(self.trans_index)]
 
-        level_embed = self.param("level_embed",
-                                 nn.initializers.normal(1.0),
-                                 (len(self.trans_index), cd))
-        tokens, pes, shapes = [], [], []
+        # the ENCODER owns its own level embeds
+        # (PureMSDEnTransformer.level_embeds, transformer.py:1143-1146);
+        # the head-level `level_embed` below feeds only the decoder
+        # (binsformer_head.py:92,287).
+        enc_level_embed = self.param("enc_level_embed",
+                                     nn.initializers.normal(1.0), (L, cd))
+        tokens, enc_pes, raw_pes, shapes = [], [], [], []
         for i, f in enumerate(trans_feats):
             B, H_, W_, _ = f.shape
             tokens.append(f.reshape(B, H_ * W_, cd))
             pe = sine_positional_encoding(H_, W_, cd // 2)
-            pes.append(jnp.asarray(pe.reshape(1, H_ * W_, cd), f.dtype)
-                       + level_embed[i][None, None])
+            pe = jnp.asarray(pe.reshape(1, H_ * W_, cd), f.dtype)
+            raw_pes.append(pe)
+            enc_pes.append(pe + enc_level_embed[i][None, None])
             shapes.append((H_, W_))
         src = jnp.concatenate(tokens, axis=1)
-        src_pe = jnp.concatenate(pes, axis=1)
+        src_pe = jnp.concatenate(enc_pes, axis=1)
 
         # DMS encoder: joint DEFORMABLE self-attention over all levels
-        # (reference builds a PureMSDEnTransformer; grid-center reference
-        # points because the masks are all-valid)
+        # (grid-center reference points — the masks are all-valid, so the
+        # reference's valid-ratio grid reduces to exactly these centers)
         ref_enc = (None if self.neck_sampling == "windowed"
                    else jnp.asarray(_center_reference_points(tuple(shapes))))
         for i in range(self.num_encoder_layers):
-            src = _EncoderLayer(cd, self.num_heads,
+            src = _EncoderLayer(cd, self.num_heads, self.enc_ff_dim,
+                                self.enc_num_points,
                                 name=f"encoder{i}")(
                 src, src_pe, ref_enc, tuple(shapes),
                 sampling=self.neck_sampling)
 
-        # split back per level (coarsest first for round-robin cross-attn)
-        per_level = []
+        # split back per level; reference reverses to coarse->fine
+        # (binsformer_head.py:224-229) and keeps appending FPN outputs to
+        # the same list, so the FPN's first top-down input is the FINEST
+        # encoder level (out[-1] at the first iteration).
+        out = []
         start = 0
         for (H_, W_) in shapes:
             n = H_ * W_
-            per_level.append((src[:, start:start + n],
-                              src_pe[:, start:start + n]))
+            out.append(src[:, start:start + n].reshape(B, H_, W_, cd))
             start += n
-        per_level = per_level[::-1]  # coarse -> fine
+        out = out[::-1]  # coarse -> fine
 
-        # ---- FPN pixel decoder over the full pyramid ----
-        fpn_levels = len(self.trans_index)
-        x = None
+        # ---- FPN pixel decoder (binsformer_head.py:231-247) ----
+        fpn_levels = L
         for j, idx in enumerate(range(fpn_levels - 1, -1, -1)):
-            lat = ConvModule(cd, kernel_size=1, use_norm=True, act=None,
+            # lateral: ConvModule(norm; default mmcv act = ReLU)
+            lat = ConvModule(cd, kernel_size=1, use_norm=True, act=nn.relu,
                              name=f"lateral{j}")(inputs[idx], train=train)
-            if x is None:
-                x = lat
-            else:
-                x = lat + resize_bilinear(x, lat.shape[1:3],
-                                          align_corners=True)
-            x = ConvModule(cd, kernel_size=3, use_norm=True, act=nn.relu,
-                           name=f"output{j}")(x, train=train)
-        per_pixel = x                              # finest trans level res
+            y = lat + resize_bilinear(out[-1], lat.shape[1:3],
+                                      align_corners=True)
+            out.append(ConvModule(cd, kernel_size=3, use_norm=True,
+                                  act=_leaky, name=f"output{j}")(
+                y, train=train))
+        per_pixel = out[-1]                        # finest pyramid res
+        ms_feats = out[:L]                         # coarse -> fine enc levels
+        ms_shapes = shapes[::-1]
 
-        # ---- bin queries ----
+        # decoder positional encodings: sine PE + head-level level_embed
+        # (binsformer_head.py:280-289)
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (L, cd))
+        per_level = []
+        for i, (f, (H_, W_)) in enumerate(zip(ms_feats, ms_shapes)):
+            pe = raw_pes[::-1][i] + level_embed[i][None, None]
+            per_level.append((f.reshape(B, H_ * W_, cd), pe))
+
+        # ---- bin queries (class query FIRST when classifying) ----
         nq = self.n_bins + (1 if self.classify else 0)
-        B = per_pixel.shape[0]
         query_feat = self.param("query_feat", nn.initializers.normal(1.0),
                                 (nq, cd))
         query_pe = self.param("query_embed", nn.initializers.normal(1.0),
@@ -163,28 +214,36 @@ class BinsFormerHead(nn.Module):
         queries = jnp.broadcast_to(query_feat[None], (B, nq, cd))
         qpe = jnp.broadcast_to(query_pe[None], (B, nq, cd))
 
+        # shared prediction heads (transformer.py:1594-1600)
+        decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
+        bins_embed = nn.Dense(1, name="bins_embed")
+        mask_embed = _MLP3(cd, cd, name="mask_embed")
+        class_embed = (_MLP3(cd, self.class_num, name="class_embed")
+                       if self.classify else None)
+
         outputs = []
         for layer in range(self.num_decoder_layers):
-            mem, mem_pe = per_level[layer % len(per_level)]
-            queries = _DecoderLayer(cd, self.num_heads,
+            mem, mem_pe = per_level[layer % L]
+            queries = _DecoderLayer(cd, self.num_heads, self.dec_ff_dim,
                                     name=f"decoder{layer}")(
                 queries, qpe, mem, mem_pe)
-            outputs.append(self._predict(queries, per_pixel, layer))
+            outputs.append(self._predict(
+                queries, per_pixel, decoder_norm, bins_embed, mask_embed,
+                class_embed))
         return outputs
 
-    @nn.compact_name_scope
-    def _predict(self, queries, per_pixel, layer):
-        cd = self.conv_dim
-        bin_q = queries[:, :self.n_bins]
+    def _predict(self, queries, per_pixel, decoder_norm, bins_embed,
+                 mask_embed, class_embed):
+        q = decoder_norm(queries)
         out = {}
         if self.classify:
-            cls_q = queries[:, self.n_bins]
-            out["class_logits"] = nn.Dense(
-                self.class_num, name=f"class_head{layer}")(cls_q)
+            out["class_logits"] = class_embed(q[:, 0])
+            bin_q = q[:, 1:]
+        else:
+            bin_q = q
 
-        # adaptive bins (softmax norm, reference binsformer_head.py:318-325)
-        widths = nn.Dense(1, name=f"bins_head{layer}")(bin_q)[..., 0]
-        widths = jax.nn.softmax(widths, axis=1)
+        # adaptive bins (softmax norm, binsformer_head.py:318-330)
+        widths = jax.nn.softmax(bins_embed(bin_q)[..., 0], axis=1)
         widths = (self.max_depth - self.min_depth) * widths
         widths = jnp.pad(widths, ((0, 0), (1, 0)),
                          constant_values=self.min_depth)
@@ -192,7 +251,7 @@ class BinsFormerHead(nn.Module):
         centers = 0.5 * (edges[:, :-1] + edges[:, 1:])
 
         # per-pixel logits = <query embedding, pixel feature>
-        emb = nn.Dense(cd, name=f"mask_embed{layer}")(bin_q)
+        emb = mask_embed(bin_q)
         logits = jnp.einsum("bhwc,bqc->bhwq", per_pixel, emb)
         probs = jax.nn.softmax(logits, axis=-1)
         depth = jnp.einsum("bhwq,bq->bhw", probs, centers)[..., None]
