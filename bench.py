@@ -1,16 +1,22 @@
 """Benchmark: KITTI-eval-shape inference throughput of GEDepth-Adaptive.
 
-Prints ONE JSON line:
+Prints ONE JSON line per benchmarked config (the TPU-native flagship LAST —
+it is the headline number a single-line consumer parses):
+
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
 
 Protocol mirrors the reference's tools/benchmark.py (warmup then timed
-iters, device-synchronised) at the KITTI eval resolution 352x1216, flagship
-GEDepth-Adaptive (Swin-L + HAHI + adaptive PE), no flip TTA, batch 1.
+iters, device-synchronised) at the KITTI eval resolution 352x1216, batch 1,
+no flip TTA.
 
-Measures the TPU-native flagship preset (windowed tiled deformable
-attention + scanned Swin pairs — gedepth_adaptive_kitti_tpu). Set
-BENCH_CONFIG=gedepth_adaptive_kitti to time the exact-mmcv-semantics
-parity configuration instead (XLA gather MSDA).
+Configs benchmarked (override with BENCH_CONFIGS=comma,separated):
+  * gedepth_adaptive_kitti        — exact mmcv-MSDA semantics (XLA flat
+                                    gather); the checkpoint-parity config.
+  * gedepth_adaptive_kitti_compat — reference parameter tree routed through
+                                    the dense windowed Pallas sampler
+                                    (loads converted checkpoints).
+  * gedepth_adaptive_kitti_tpu    — TPU-native flagship (windowed sampling,
+                                    train-from-scratch parameter tree).
 
 vs_baseline: the reference publishes no throughput figures (SURVEY.md §6).
 We normalise against an assumed 10 images/sec for the PyTorch
@@ -29,16 +35,18 @@ BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
 ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 HEIGHT, WIDTH = 352, 1216
+DEFAULT_CONFIGS = ("gedepth_adaptive_kitti,"
+                   "gedepth_adaptive_kitti_compat,"
+                   "gedepth_adaptive_kitti_tpu")
 
 
-def main():
+def bench_config(name):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from gedepth_tpu.configs import get_config
 
-    cfg = get_config(os.environ.get("BENCH_CONFIG",
-                                    "gedepth_adaptive_kitti_tpu"))
+    cfg = get_config(name)
     model = cfg.model.build()
 
     rng = np.random.default_rng(0)
@@ -72,7 +80,15 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_BASELINE_FPS, 3),
-    }))
+    }), flush=True)
+
+
+def main():
+    names = os.environ.get(
+        "BENCH_CONFIG",  # single-config compatibility override
+        os.environ.get("BENCH_CONFIGS", DEFAULT_CONFIGS))
+    for name in names.split(","):
+        bench_config(name.strip())
 
 
 if __name__ == "__main__":
