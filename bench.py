@@ -55,7 +55,10 @@ def bench_config(name):
     img = jnp.asarray(img)
     cam_h = jnp.full((BATCH,), 1.65, jnp.float32)
 
-    variables = model.init(jax.random.PRNGKey(0), img, cam_h)
+    # jitted init: eager flax init executes the whole model
+    # op-by-op over the remote-TPU tunnel (minutes); one
+    # compiled (and persistently cached) init is seconds
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, cam_h)
 
     @jax.jit
     def forward(v, x, ch):

@@ -20,7 +20,8 @@ import flax.linen as nn
 
 from gedepth_tpu.models.layers import (
     ConvModule, sine_positional_encoding, xavier_uniform_init)
-from gedepth_tpu.ops.msda import msda_sample, msda_sample_windowed
+from gedepth_tpu.ops.msda import (
+    msda_sample, msda_sample_windowed, shared_value_exts)
 
 
 def _msda_offset_bias_init(num_heads, num_levels, num_points, scale=1.0):
@@ -169,6 +170,11 @@ class MSDeformAttention(nn.Module):
                 off_px = jnp.clip(delta, -R, R)
             else:
                 off_px = R * jnp.tanh(offsets / R)
+            # shared padded-value extents: one pad+transpose per level
+            # serves every query grid of this attention (XLA CSE)
+            exts = shared_value_exts(tuple(query_shapes),
+                                     tuple(spatial_shapes),
+                                     self.window_radius)
             outs = []
             start = 0
             for (Hq, Wq) in query_shapes:
@@ -176,7 +182,7 @@ class MSDeformAttention(nn.Module):
                 outs.append(msda_sample_windowed(
                     levels, off_px[:, start:start + n],
                     weights[:, start:start + n], (Hq, Wq),
-                    radius=self.window_radius))
+                    radius=self.window_radius, value_exts=exts))
                 start += n
             assert start == Nq
             out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

@@ -202,9 +202,28 @@ def _windowed_level(value, off, w, query_hw, radius: int):
     return out.reshape(B, Hq * Wq, h, d)
 
 
+def shared_value_exts(query_shapes, value_hws, radius: int):
+    """Per-level padded-value extents (ext_y8, ext_x8) covering EVERY query
+    grid whose plan supports the Pallas kernel, so one pad+transpose per
+    level serves all grids (XLA CSE dedupes the identical preps). None for
+    levels no grid can take through the kernel."""
+    from gedepth_tpu.ops.pallas.msda_windowed import _plan
+    exts = []
+    for vhw in value_hws:
+        eys, exs = [], []
+        for q in query_shapes:
+            p = _plan(tuple(q), tuple(vhw), radius)
+            if p is not None:
+                eys.append(p["ext_y8"])
+                exs.append(p["ext_x8"])
+        exts.append((max(eys), max(exs)) if eys else None)
+    return tuple(exts)
+
+
 def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
                          radius: int = 4, remat: bool = True,
-                         impl: str = "auto", precision=None):
+                         impl: str = "auto", precision=None,
+                         value_exts=None):
     """Dense windowed multi-scale deformable sampling.
 
     Args:
@@ -222,6 +241,8 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
         rounding from bf16 multiply passes).
       precision: matmul precision for the tiled impl (None = backend
         default; pass jax.lax.Precision.HIGHEST for f32-exact tests).
+      value_exts: optional `shared_value_exts` result for cross-query-grid
+        padded-value sharing (pallas impl only).
 
     Returns: (B, Nq, heads * dim)
     """
@@ -237,18 +258,76 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
                                                      "rocm")
                 else "pallas")
     if impl == "pallas":
-        # per-level dispatch: the kernel covers the hot same/coarser-value
-        # levels; pairs whose window blows the VMEM budget (coarse query
-        # grid sampling a much finer level) use the XLA tiled path
+        # fused multi-level dispatch: ONE pallas_call per VMEM-budget group
+        # of levels (band scratches for the whole group must coexist);
+        # pairs whose window blows the per-level budget (coarse query grid
+        # sampling a much finer level) use the XLA tiled path
         from gedepth_tpu.ops.pallas.msda_windowed import (
-            msda_windowed_level, pallas_windowed_supported)
+            _plan, msda_windowed_group, msda_windowed_level)
 
-        def level_fn(value, off, w):
-            if pallas_windowed_supported(
-                    query_hw, (value.shape[1], value.shape[2]), radius):
-                return msda_windowed_level(value, off, w, query_hw, radius)
-            return _windowed_level_tiled(value, off, w, query_hw, radius,
-                                         precision=precision)
+        plans = [_plan(query_hw, (v.shape[1], v.shape[2]), radius)
+                 for v in value_levels]
+        if os.environ.get("GEDEPTH_MSDA_FUSE", "1") == "0":
+            # A/B: one pallas_call per level (the pre-fused dispatch)
+            out = None
+            lf = (jax.checkpoint(msda_windowed_level,
+                                 static_argnums=(3, 4))
+                  if remat else msda_windowed_level)
+            tf = (jax.checkpoint(_windowed_level_tiled,
+                                 static_argnums=(3, 4))
+                  if remat else _windowed_level_tiled)
+            for l, v in enumerate(value_levels):
+                fn = lf if plans[l] is not None else tf
+                term = fn(v, offsets_px[:, :, :, l], weights[:, :, :, l],
+                          query_hw, radius)
+                out = term if out is None else out + term
+            return out.reshape(B, Nq, h * d)
+        budget = 8 * 1024 * 1024
+        groups, cur, cur_bytes = [], [], 0
+        fallback = []
+        for l, p in enumerate(plans):
+            if p is None:
+                fallback.append(l)
+                continue
+            ex = p["ext_x8"]
+            if value_exts is not None and value_exts[l] is not None:
+                ex = max(ex, value_exts[l][1])
+            bb = p["wh8"] * ex * 128 * 4
+            if cur and cur_bytes + bb > budget:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(l)
+            cur_bytes += bb
+        if cur:
+            groups.append(cur)
+
+        out = None
+        for grp in groups:
+            exts = (tuple(value_exts[l] for l in grp)
+                    if value_exts is not None else None)
+
+            def group_fn(vs, os_, ws_, _exts=exts):
+                return msda_windowed_group(vs, os_, ws_, query_hw, radius,
+                                           _exts)
+            if remat:
+                group_fn = jax.checkpoint(group_fn)
+            term = group_fn(
+                tuple(value_levels[l] for l in grp),
+                tuple(offsets_px[:, :, :, l] for l in grp),
+                tuple(weights[:, :, :, l] for l in grp))
+            out = term if out is None else out + term
+
+        if fallback:
+            def level_fn(value, off, w):
+                return _windowed_level_tiled(value, off, w, query_hw,
+                                             radius, precision=precision)
+            if remat:
+                level_fn = jax.checkpoint(level_fn)
+            for l in fallback:
+                term = level_fn(value_levels[l], offsets_px[:, :, :, l],
+                                weights[:, :, :, l])
+                out = term if out is None else out + term
+        return out.reshape(B, Nq, h * d)
     elif impl == "tiled":
         def level_fn(value, off, w):
             return _windowed_level_tiled(value, off, w, query_hw, radius,

@@ -186,7 +186,7 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
             num_scalar_prefetch=2,
             grid=(B, nty, h),
             in_specs=[qspec] * 5 + [
-                pl.BlockSpec(memory_space=pltpu.ANY)],   # padded value
+                pl.BlockSpec(memory_space=pl.ANY)],   # padded value
             out_specs=pl.BlockSpec(
                 (1, 1, 1, ntx, _Q_LANES, d),
                 lambda b, i, j, *_: (b, i, j, 0, 0, 0),
@@ -210,6 +210,457 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
 
 def pallas_windowed_supported(query_hw, value_hw, radius) -> bool:
     return _plan(query_hw, value_hw, radius) is not None
+
+
+# ---------------------------------------------------------------------------
+# fused multi-level kernel: one pallas_call per QUERY GRID
+# ---------------------------------------------------------------------------
+#
+# The per-(grid, level) kernel above costs XLA a full prep + dispatch + out
+# relayout per level (the HAHI neck runs 4 query grids x 4 levels of
+# self-attention + 1 grid x 4 levels of cross-attention = 20 calls per
+# forward). The query tiling (TH, TW, nty, ntx) depends only on the query
+# grid, so all levels of one grid share the same grid loop — this kernel
+# processes every VMEM-fitting level inside ONE pallas_call: per
+# (batch, row-band, head) it starts all levels' band DMAs up front (each
+# level's DMA overlaps the previous level's A-build/matmul) and accumulates
+# the per-level contractions into a single output block, collapsing L
+# output relayouts into one.
+
+
+def _kernel_multi(base8_ref, roff_ref, *refs, plans, d):
+    """refs layout: [wy0, fy, wx0, fxw0, fxw1] x L, vp x L, out,
+    band x L, sem (L,), amat."""
+    L = len(plans)
+    qargs = [refs[5 * l:5 * (l + 1)] for l in range(L)]
+    vps = refs[5 * L:6 * L]
+    out_ref = refs[6 * L]
+    bands = refs[6 * L + 1:6 * L + 1 + L]
+    sem = refs[6 * L + 1 + L]
+    amat = refs[6 * L + 2 + L]
+
+    ntx = plans[0]["ntx"]
+    P = plans[0]["P"]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    def dma(l):
+        return pltpu.make_async_copy(
+            vps[l].at[b, j, pl.ds(base8_ref[l, i], plans[l]["wh8"])],
+            bands[l], sem.at[l])
+
+    for l in range(L):
+        dma(l).start()
+
+    for l, plan in enumerate(plans):
+        wh, ww = plan["wh"], plan["ww"]
+        base_x = plan["base_x"]
+        wy0_ref, fy_ref, wx0_ref, fxw0_ref, fxw1_ref = qargs[l]
+        dma(l).wait()
+        roff = roff_ref[l, i]
+        band = bands[l]
+
+        iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww, _Q_LANES), 0)
+        iot_h = jax.lax.broadcasted_iota(jnp.int32, (wh, _Q_LANES), 0)
+
+        for m in range(ntx):
+            acc = jnp.zeros((wh, ww, _Q_LANES), jnp.float32)
+            for p in range(P):
+                wy0 = wy0_ref[0, 0, 0, m, pl.ds(p, 1), :]
+                fy = fy_ref[0, 0, 0, m, pl.ds(p, 1), :]
+                wx0 = wx0_ref[0, 0, 0, m, pl.ds(p, 1), :]
+                fxw0 = fxw0_ref[0, 0, 0, m, pl.ds(p, 1), :]
+                fxw1 = fxw1_ref[0, 0, 0, m, pl.ds(p, 1), :]
+                wx = ((iot_w == wx0).astype(fxw0.dtype) * fxw0
+                      + (iot_w == (wx0 + 1)).astype(fxw0.dtype) * fxw1)
+                wy = ((iot_h == wy0).astype(fy.dtype) * (1.0 - fy)
+                      + (iot_h == (wy0 + 1)).astype(fy.dtype) * fy)
+                acc = acc + wy[:, None, :] * wx[None, :, :]
+            amat[0:wh * ww] = acc.reshape(wh * ww, _Q_LANES)
+
+            win = band[pl.ds(roff, wh), pl.ds(int(base_x[m]), ww), :d]
+            win = win.reshape(wh * ww, d)
+            term = jax.lax.dot_general(
+                amat[0:wh * ww], win.astype(jnp.float32),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if l == 0:
+                out_ref[0, 0, 0, m] = term
+            else:
+                out_ref[0, 0, 0, m] += term
+
+
+def prepare_padded_value(value, radius, ext_y8, ext_x8):
+    """Pad + head-major transpose of one value level for the kernel DMA
+    layout: (B, Hv, Wv, h, d) -> (B, h, ext_y8, ext_x8, 128).
+
+    Shared across every query grid sampling this level (the left pad is
+    always radius + 3; grids only differ in the required extents, so
+    padding to the max extent serves them all)."""
+    B, Hv, Wv, h, d = value.shape
+    pad = radius + 3
+    vp = jnp.pad(value, ((0, 0), (pad, ext_y8 - Hv - pad),
+                         (pad, ext_x8 - Wv - pad), (0, 0),
+                         (0, _D_LANES - d)))
+    return vp.transpose(0, 3, 1, 2, 4)
+
+
+def _qargs_for_level(off, w, value_dtype, query_hw, plan):
+    """XLA-side prep of one level's folded corner/weight tensors in the
+    q-on-lanes tiled layout (same math as `_pallas_level`)."""
+    B = off.shape[0]
+    Hq, Wq = query_hw
+    P = w.shape[-1]
+    TH, TW = plan["TH"], plan["TW"]
+    nty, ntx = plan["nty"], plan["ntx"]
+
+    off = off.reshape(B, Hq, Wq, -1, P, 2)
+    h = off.shape[3]
+    w = w.reshape(B, Hq, Wq, h, P)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0),
+                            (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+
+    res_y = jnp.asarray(plan["res_y"].reshape(nty * TH))
+    rel_y = jnp.asarray(plan["rel_y"].reshape(nty * TH))
+    res_x = jnp.asarray(plan["res_x"].reshape(ntx * TW))
+    rel_x = jnp.asarray(plan["rel_x"].reshape(ntx * TW))
+
+    ty = res_y[None, :, None, None, None] + off[..., 1]
+    tx = res_x[None, None, :, None, None] + off[..., 0]
+    y0 = jnp.floor(ty)
+    x0 = jnp.floor(tx)
+    fy = (ty - y0).astype(value_dtype)
+    fx = (tx - x0).astype(value_dtype)
+    wy0 = rel_y[None, :, None, None, None] + y0.astype(jnp.int32)
+    wx0 = rel_x[None, None, :, None, None] + x0.astype(jnp.int32)
+    fxw0 = (1.0 - fx) * w
+    fxw1 = fx * w
+
+    def to_lanes(x):
+        x = x.reshape(B, nty, TH, ntx, TW, h, P)
+        return x.transpose(0, 1, 5, 3, 6, 2, 4).reshape(
+            B, nty, h, ntx, P, TH * TW)
+
+    return [to_lanes(a) for a in (wy0, fy, wx0, fxw0, fxw1)]
+
+
+def msda_windowed_fused(vps, offs, ws, query_hw, radius, plans, d,
+                        interpret=False):
+    """Fused multi-level windowed sampling for one query grid.
+
+    vps: list of padded/transposed values from `prepare_padded_value`
+      (each (B, h, ext_y8_l, ext_x8_l, 128) — extents may exceed the
+      per-level plan's, e.g. when shared across query grids).
+    offs/ws: per level, (B, Nq, h, P, 2) / (B, Nq, h, P).
+    plans: per-level `_plan` dicts (all sharing TH/TW/nty/ntx).
+    d: true head dim (vps are lane-padded to 128).
+    Returns (B, Nq, h, d) summed over the levels.
+    """
+    L = len(vps)
+    B, h = vps[0].shape[0], vps[0].shape[1]
+    Hq, Wq = query_hw
+    P = ws[0].shape[-1]
+    plan0 = dict(plans[0], P=P)
+    nty, ntx = plan0["nty"], plan0["ntx"]
+    TH, TW = plan0["TH"], plan0["TW"]
+
+    args = []
+    for l in range(L):
+        args.extend(_qargs_for_level(offs[l], ws[l], jnp.float32, query_hw,
+                                     plans[l]))
+
+    base8 = np.stack([p["base8"] for p in plans]).astype(np.int32)
+    roff = np.stack([p["roff"] for p in plans]).astype(np.int32)
+
+    qspec = pl.BlockSpec(
+        (1, 1, 1, ntx, P, _Q_LANES),
+        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    amat_rows = max(p["wh"] * p["ww"] for p in plans)
+
+    plans_k = [dict(p, P=P) for p in plans]
+    # the kernel band scratch spans each vp's actual (possibly shared/max)
+    # column extent so the static base_x slices stay in range
+    for p, vp in zip(plans_k, vps):
+        p["ext_x8"] = int(vp.shape[3])
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_multi, plans=plans_k, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nty, h),
+            in_specs=[qspec] * (5 * L) + [
+                pl.BlockSpec(memory_space=pl.ANY)] * L,
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, ntx, _Q_LANES, d),
+                lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((p["wh8"], int(vp.shape[3]), _D_LANES),
+                           vp.dtype)
+                for p, vp in zip(plans_k, vps)
+            ] + [
+                pltpu.SemaphoreType.DMA((L,)),
+                pltpu.VMEM((amat_rows, _Q_LANES), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((B, nty, h, ntx, _Q_LANES, d),
+                                       jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(base8), jnp.asarray(roff), *args, *vps)
+
+    out = out.reshape(B, nty, h, ntx, TH, TW, d).transpose(
+        0, 1, 4, 3, 5, 2, 6).reshape(B, nty * TH, ntx * TW, h, d)
+    return out[:, :Hq, :Wq].reshape(B, Hq * Wq, h, d)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: d_offsets / d_weights (query-tiled)
+# ---------------------------------------------------------------------------
+#
+# The XLA-tiled VJP re-runs the A-build einsum backward, spilling the
+# wrow/wcol/A intermediates to HBM every scan band — the same HBM wall the
+# forward kernel removed. This kernel computes the offset/weight grads with
+# the forward's band-DMA tiling: per query tile it forms
+#   M[win, q] = V_win · g_q   (one MXU dot)
+# and contracts it against the separable tap-weight factors and their
+# derivatives on the VPU:
+#   d_w[q,p]   = sum_win Wy_p Wx_p M          (A excl. attention weight)
+#   d_offy[q,p]= w * sum_win (dWy/dfy) Wx M   (floor() has zero grad)
+#   d_offx[q,p]= w * sum_win Wy (dWx/dfx) M
+# dV falls back to the XLA-tiled VJP (it needs scatter across overlapping
+# windows; see _group_bwd).
+
+
+def _kernel_bwd(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fx_ref,
+                w_ref, g_ref, vp_ref, dw_ref, dox_ref, doy_ref, band, sem,
+                *, plan, d):
+    ntx = plan["ntx"]
+    wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
+    base_x = plan["base_x"]
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    copy = pltpu.make_async_copy(
+        vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)], band, sem)
+    copy.start()
+    copy.wait()
+    roff = roff_ref[i]
+
+    iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww, _Q_LANES), 0)
+    iot_h = jax.lax.broadcasted_iota(jnp.int32, (wh, _Q_LANES), 0)
+
+    for m in range(ntx):
+        g = g_ref[0, 0, 0, m]                       # (128, d)
+        win = band[pl.ds(roff, wh), pl.ds(int(base_x[m]), ww), :d]
+        win = win.reshape(wh * ww, d)
+        # M[win, q] = sum_d V[win, d] g[q, d]
+        M = jax.lax.dot_general(
+            win.astype(jnp.float32), g,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)     # (wh*ww, 128)
+        M3 = M.reshape(wh, ww, _Q_LANES)
+
+        for p in range(plan["P"]):
+            wy0 = wy0_ref[0, 0, 0, m, pl.ds(p, 1), :]   # (1, 128)
+            fy = fy_ref[0, 0, 0, m, pl.ds(p, 1), :]
+            wx0 = wx0_ref[0, 0, 0, m, pl.ds(p, 1), :]
+            fx = fx_ref[0, 0, 0, m, pl.ds(p, 1), :]
+            w = w_ref[0, 0, 0, m, pl.ds(p, 1), :]
+
+            hy0 = (iot_h == wy0).astype(jnp.float32)
+            hy1 = (iot_h == (wy0 + 1)).astype(jnp.float32)
+            hx0 = (iot_w == wx0).astype(jnp.float32)
+            hx1 = (iot_w == (wx0 + 1)).astype(jnp.float32)
+            Wy = hy0 * (1.0 - fy) + hy1 * fy            # (wh, 128)
+            Wx = hx0 * (1.0 - fx) + hx1 * fx            # (ww, 128)
+            dWy = hy1 - hy0
+            dWx = hx1 - hx0
+
+            # per-row / per-col partial contractions of M
+            MWy = jnp.sum(M3 * Wx[None, :, :], axis=1)  # (wh, 128)
+            MWx = jnp.sum(M3 * Wy[:, None, :], axis=0)  # (ww, 128)
+
+            dw_ref[0, 0, 0, m, pl.ds(p, 1), :] = jnp.sum(
+                Wy * MWy, axis=0, keepdims=True)
+            doy_ref[0, 0, 0, m, pl.ds(p, 1), :] = w * jnp.sum(
+                dWy * MWy, axis=0, keepdims=True)
+            dox_ref[0, 0, 0, m, pl.ds(p, 1), :] = w * jnp.sum(
+                dWx * MWx, axis=0, keepdims=True)
+
+
+def _qargs_raw_for_level(off, w, query_hw, plan):
+    """Like `_qargs_for_level` but UNfolded: (wy0, fy, wx0, fx, w) — the
+    backward needs the attention weight separate from the x-corner
+    fractions."""
+    B = off.shape[0]
+    Hq, Wq = query_hw
+    P = w.shape[-1]
+    TH, TW = plan["TH"], plan["TW"]
+    nty, ntx = plan["nty"], plan["ntx"]
+
+    off = off.reshape(B, Hq, Wq, -1, P, 2)
+    h = off.shape[3]
+    w = w.reshape(B, Hq, Wq, h, P)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0),
+                            (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+
+    res_y = jnp.asarray(plan["res_y"].reshape(nty * TH))
+    rel_y = jnp.asarray(plan["rel_y"].reshape(nty * TH))
+    res_x = jnp.asarray(plan["res_x"].reshape(ntx * TW))
+    rel_x = jnp.asarray(plan["rel_x"].reshape(ntx * TW))
+
+    ty = res_y[None, :, None, None, None] + off[..., 1]
+    tx = res_x[None, None, :, None, None] + off[..., 0]
+    y0 = jnp.floor(ty)
+    x0 = jnp.floor(tx)
+    fy = (ty - y0).astype(jnp.float32)
+    fx = (tx - x0).astype(jnp.float32)
+    wy0 = rel_y[None, :, None, None, None] + y0.astype(jnp.int32)
+    wx0 = rel_x[None, None, :, None, None] + x0.astype(jnp.int32)
+
+    def to_lanes(x):
+        x = x.reshape(B, nty, TH, ntx, TW, h, P)
+        return x.transpose(0, 1, 5, 3, 6, 2, 4).reshape(
+            B, nty, h, ntx, P, TH * TW)
+
+    return [to_lanes(a) for a in (wy0, fy, wx0, fx, w)]
+
+
+def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
+                                 ext=None, interpret=False):
+    """Pallas d_off / d_w for one level.
+
+    value: (B, Hv, Wv, h, d); off/w: (B, Nq, h, P, 2) / (B, Nq, h, P);
+    g: (B, Nq, h, d) upstream cotangent.
+    Returns (d_off, d_w) with the input shapes.
+    """
+    B, Hv, Wv, h, d = value.shape
+    Hq, Wq = query_hw
+    P = w.shape[-1]
+    plan = _plan(query_hw, (Hv, Wv), radius)
+    assert plan is not None
+    plan = dict(plan, P=P)
+    TH, TW = plan["TH"], plan["TW"]
+    nty, ntx = plan["nty"], plan["ntx"]
+
+    ey, ex = ext if ext is not None else (plan["ext_y8"], plan["ext_x8"])
+    vp = prepare_padded_value(value, radius, ey, ex)
+    plan["ext_x8"] = int(vp.shape[3])
+
+    args = _qargs_raw_for_level(off, w, query_hw, plan)
+
+    # upstream cotangent in the forward-output tile layout
+    gq = g.reshape(B, Hq, Wq, h, d)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        gq = jnp.pad(gq, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+    gq = gq.reshape(B, nty, TH, ntx, TW, h, d).transpose(
+        0, 1, 5, 3, 2, 4, 6).reshape(B, nty, h, ntx, TH * TW, d)
+
+    qspec = pl.BlockSpec(
+        (1, 1, 1, ntx, P, _Q_LANES),
+        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec(
+        (1, 1, 1, ntx, _Q_LANES, d),
+        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    oshape = jax.ShapeDtypeStruct((B, nty, h, ntx, P, _Q_LANES),
+                                  jnp.float32)
+
+    dw_t, dox_t, doy_t = pl.pallas_call(
+        functools.partial(_kernel_bwd, plan=plan, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nty, h),
+            in_specs=[qspec] * 5 + [gspec,
+                                    pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(qspec, qspec, qspec),
+            scratch_shapes=[
+                pltpu.VMEM((plan["wh8"], plan["ext_x8"], _D_LANES),
+                           vp.dtype),
+                pltpu.SemaphoreType.DMA,
+            ]),
+        out_shape=(oshape, oshape, oshape),
+        interpret=interpret,
+    )(jnp.asarray(plan["base8"], jnp.int32),
+      jnp.asarray(plan["roff"], jnp.int32), *args, gq, vp)
+
+    def untile(x):
+        # (B, nty, h, ntx, P, TH*TW) -> (B, Nq, h, P)
+        x = x.reshape(B, nty, h, ntx, P, TH, TW)
+        x = x.transpose(0, 1, 5, 3, 6, 2, 4)
+        x = x.reshape(B, nty * TH, ntx * TW, h, P)
+        return x[:, :Hq, :Wq].reshape(B, Hq * Wq, h, P)
+
+    d_w = untile(dw_t)
+    d_off = jnp.stack([untile(dox_t), untile(doy_t)], axis=-1)
+    return d_off, d_w
+
+
+def _group_forward(values, offs, ws, query_hw, radius, exts):
+    plans = [_plan(query_hw, (v.shape[1], v.shape[2]), radius)
+             for v in values]
+    d = values[0].shape[-1]
+    vps = []
+    for li, (v, p) in enumerate(zip(values, plans)):
+        ey, ex = (exts[li] if exts is not None and exts[li] is not None
+                  else (p["ext_y8"], p["ext_x8"]))
+        vps.append(prepare_padded_value(v, radius, ey, ex))
+    return msda_windowed_fused(vps, list(offs), list(ws), query_hw, radius,
+                               plans, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def msda_windowed_group(values, offs, ws, query_hw, radius, exts=None):
+    """Fused multi-level Pallas forward / XLA-tiled backward.
+
+    values/offs/ws: per-level tuples — (B,Hv,Wv,h,d) / (B,Nq,h,P,2) /
+    (B,Nq,h,P); all levels must pass `pallas_windowed_supported` for this
+    query grid. exts: optional per-level (ext_y8, ext_x8) overrides so the
+    padded-value prep is identical across query grids (XLA CSE then shares
+    one pad+transpose per level instead of one per grid).
+    Returns (B, Nq, h, d) summed over the levels.
+    """
+    return _group_forward(values, offs, ws, query_hw, radius, exts)
+
+
+def _group_fwd(values, offs, ws, query_hw, radius, exts):
+    return (msda_windowed_group(values, offs, ws, query_hw, radius, exts),
+            (values, offs, ws))
+
+
+def _group_bwd(query_hw, radius, exts, res, g):
+    """d_off / d_w via the Pallas band-tiled kernel; dV via the XLA tiled
+    VJP restricted to the value argument (its A-build backward — the HBM
+    spill the kernels avoid — is no longer differentiated)."""
+    values, offs, ws = res
+    dvs, dos, dws = [], [], []
+    for li, (v, o, w_) in enumerate(zip(values, offs, ws)):
+        ext = exts[li] if exts is not None else None
+        do, dw = msda_windowed_level_bwd_offw(v, o, w_, g, query_hw,
+                                              radius, ext)
+        _, vjp_v = jax.vjp(
+            lambda vv: _msda._windowed_level_tiled(
+                vv, o, w_, query_hw, radius), v)
+        dv, = vjp_v(g)
+        dvs.append(dv)
+        dos.append(do)
+        dws.append(dw)
+    return tuple(dvs), tuple(dos), tuple(dws)
+
+
+msda_windowed_group.defvjp(_group_fwd, _group_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -122,3 +122,62 @@ def test_msda_windowed_pallas_interpret_parity():
         got = term if got is None else got + term
     got = np.asarray(got).reshape(ref.shape)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_msda_windowed_fused_group_parity_and_grads():
+    """Fused multi-level kernel (one pallas_call for the whole group,
+    interpret mode) == taps reference, including the shared-extent
+    padded-value path and the XLA-tiled custom VJP."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gedepth_tpu.ops.msda import (
+        msda_sample_windowed, shared_value_exts)
+    from gedepth_tpu.ops.pallas.msda_windowed import msda_windowed_group
+
+    rng = np.random.default_rng(5)
+    B, h, d, P, R = 1, 2, 8, 4, 4
+    Hq, Wq = 16, 40
+    shapes = ((8, 20), (4, 10), (16, 40))
+    levels = [jnp.asarray(rng.standard_normal((B, H, W, h, d))
+                          .astype(np.float32)) for H, W in shapes]
+    off = jnp.asarray(rng.uniform(-R, R, (B, Hq * Wq, h, len(shapes), P, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, Hq * Wq, h, len(shapes), P))
+                    .astype(np.float32))
+    ref = np.asarray(msda_sample_windowed(levels, off, w, (Hq, Wq),
+                                          radius=R, impl="taps"))
+
+    # fused group, plan-native extents
+    offs = tuple(off[:, :, :, l] for l in range(len(shapes)))
+    ws = tuple(w[:, :, :, l] for l in range(len(shapes)))
+    got = np.asarray(msda_windowed_group(tuple(levels), offs, ws,
+                                         (Hq, Wq), R))
+    np.testing.assert_allclose(got.reshape(ref.shape), ref,
+                               rtol=1e-4, atol=1e-5)
+
+    # shared extents across two query grids (the hahi path)
+    exts = shared_value_exts(((Hq, Wq), (8, 20)), shapes, R)
+    got2 = np.asarray(msda_windowed_group(tuple(levels), offs, ws,
+                                          (Hq, Wq), R, exts))
+    np.testing.assert_allclose(got2.reshape(ref.shape), ref,
+                               rtol=1e-4, atol=1e-5)
+
+    # custom VJP == taps-reference autodiff
+    def loss_fused(vs, os_, ws_):
+        o = msda_windowed_group(vs, os_, ws_, (Hq, Wq), R)
+        return jnp.sum(o * o)
+
+    def loss_taps(vs, os_, ws_):
+        o = msda_sample_windowed(
+            list(vs),
+            jnp.stack(os_, axis=3), jnp.stack(ws_, axis=3),
+            (Hq, Wq), radius=R, impl="taps")
+        return jnp.sum(o.reshape(B, Hq * Wq, h, d) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(
+        tuple(levels), offs, ws)
+    g_taps = jax.grad(loss_taps, argnums=(0, 1, 2))(
+        tuple(levels), offs, ws)
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_taps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

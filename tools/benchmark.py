@@ -44,7 +44,10 @@ def main():
     img = jnp.asarray(img)
     ch = jnp.full((args.batch,), cfg.model.default_cam_height, jnp.float32)
 
-    variables = model.init(jax.random.PRNGKey(0), img, ch)
+    # jitted init: eager flax init executes the whole model
+    # op-by-op over the remote-TPU tunnel (minutes); one
+    # compiled (and persistently cached) init is seconds
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, ch)
 
     if args.train_step:
         from gedepth_tpu.train import (

@@ -49,7 +49,10 @@ def main():
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, neck_sampling=variant))
         model = cfg.model.build()
-        variables = model.init(jax.random.PRNGKey(0), img, cam_h)
+        # jitted init: eager flax init executes the whole model
+        # op-by-op over the remote-TPU tunnel (minutes); one
+        # compiled (and persistently cached) init is seconds
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, cam_h)
 
         if args.train_step:
             from gedepth_tpu.train import (
