@@ -267,8 +267,15 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
 
         plans = [_plan(query_hw, (v.shape[1], v.shape[2]), radius)
                  for v in value_levels]
-        if os.environ.get("GEDEPTH_MSDA_FUSE", "1") == "0":
-            # A/B: one pallas_call per level (the pre-fused dispatch)
+        if os.environ.get("GEDEPTH_MSDA_FUSE", "0") == "0":
+            # DEFAULT: one pallas_call per (query grid, level). The fused
+            # multi-level variants (GEDEPTH_MSDA_FUSE=1) measured SLOWER on
+            # v5e in every configuration tried — full-ntx blocked q-args
+            # blow VMEM at full res; a column-tile grid dimension pays ~6us
+            # per step plus 3x-cost dynamic sublane window slices; manual
+            # chunked q-arg DMA pays the stacking concat in HBM traffic.
+            # Kept behind the flag as the starting point for another
+            # attempt, with those three dead ends documented.
             out = None
             lf = (jax.checkpoint(msda_windowed_level,
                                  static_argnums=(3, 4))

@@ -64,19 +64,26 @@ def _plan(query_hw, value_hw, radius):
     roff = (base_y - base8).astype(np.int32)
     wh8 = _round8(wh + 7)
     ext_y8 = _round8(max(int(base8.max()) + wh8, ext_y))
-    ext_x8 = _round8(ext_x)
+    # 8-aligned x-window starts for the fused kernel (the column tile is a
+    # grid dimension there, so the in-band x slice start is dynamic — the
+    # sublane-tiled dim only takes aligned dynamic starts). The residual
+    # is folded into rel_x; the window widens by up to 8.
+    basex8 = ((base_x // 8) * 8).astype(np.int32)
+    rxoff = (base_x - basex8).astype(np.int32)
+    ww8 = ww + 8
+    ext_x8 = _round8(max(ext_x, int(basex8.max()) + ww8))
     # VMEM budget: the row band + A scratch must fit alongside the blocked
     # inputs/outputs (~16 MB total). Oversized plans (coarse query grids
     # sampling fine levels blow the window up with the ratio) fall back to
     # the XLA tiled path.
     band_bytes = wh8 * ext_x8 * _D_LANES * 4
-    amat_bytes = wh * ww * _Q_LANES * 4
+    amat_bytes = wh * ww8 * _Q_LANES * 4
     if band_bytes + amat_bytes > 8 * 1024 * 1024:
         return None
     return dict(TH=TH, TW=TW, nty=nty, ntx=ntx, wh=wh, ww=ww, wh8=wh8,
                 base8=base8, roff=roff, rel_y=rel_y, res_y=res_y,
                 ext_y8=ext_y8, base_x=base_x, rel_x=rel_x, res_x=res_x,
-                ext_x8=ext_x8)
+                ext_x8=ext_x8, basex8=basex8, rxoff=rxoff, ww8=ww8)
 
 
 def _kernel(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fxw0_ref,
@@ -228,68 +235,104 @@ def pallas_windowed_supported(query_hw, value_hw, radius) -> bool:
 # output relayouts into one.
 
 
-def _kernel_multi(base8_ref, roff_ref, *refs, plans, d):
-    """refs layout: [wy0, fy, wx0, fxw0, fxw1] x L, vp x L, out,
-    band x L, sem (L,), amat."""
-    L = len(plans)
-    qargs = [refs[5 * l:5 * (l + 1)] for l in range(L)]
-    vps = refs[5 * L:6 * L]
-    out_ref = refs[6 * L]
-    bands = refs[6 * L + 1:6 * L + 1 + L]
-    sem = refs[6 * L + 1 + L]
-    amat = refs[6 * L + 2 + L]
+def _kernel_multi(base8_ref, roff_ref, qstack_ref, *refs, plans, d):
+    """refs layout: vp x L, out, band x L, bsem (L,), qbuf (2,...),
+    qsem (2,), amat.
 
-    ntx = plans[0]["ntx"]
+    Grid (B, nty, h). The column-tile loop stays a static Python loop (all
+    window slices static), but the per-query tensors live in HBM as ONE
+    stacked array (B, nty, h, ntx, L*5*P, 128) and are DMA'd per
+    column-tile chunk with double buffering — the first fused version kept
+    L*5 full-ntx rows of tiles blocked in VMEM, which blew the budget at
+    full resolution; the second moved the tile loop onto the grid, whose
+    per-step overhead plus the then-dynamic (sublane) window slices cost
+    ~3x. Integer corner indices ride the stack as exact small floats."""
+    L = len(plans)
+    vps = refs[:L]
+    out_ref = refs[L]
+    bands = refs[L + 1:2 * L + 1]
+    bsem = refs[2 * L + 1]
+    qbuf = refs[2 * L + 2]
+    qsem = refs[2 * L + 3]
+    amat = refs[2 * L + 4]
+
     P = plans[0]["P"]
+    MC = plans[0]["MC"]
+    ntx = plans[0]["ntx"]
+    nmc = -(-ntx // MC)
 
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
-    def dma(l):
+    def band_dma(l):
         return pltpu.make_async_copy(
             vps[l].at[b, j, pl.ds(base8_ref[l, i], plans[l]["wh8"])],
-            bands[l], sem.at[l])
+            bands[l], bsem.at[l])
+
+    def q_dma(slot, mq):
+        return pltpu.make_async_copy(
+            qstack_ref.at[b, i, j, pl.ds(mq * MC, MC)],
+            qbuf.at[slot], qsem.at[slot])
 
     for l in range(L):
-        dma(l).start()
+        band_dma(l).start()
+    q_dma(0, 0).start()
+    for l in range(L):
+        band_dma(l).wait()
 
-    for l, plan in enumerate(plans):
-        wh, ww = plan["wh"], plan["ww"]
-        base_x = plan["base_x"]
-        wy0_ref, fy_ref, wx0_ref, fxw0_ref, fxw1_ref = qargs[l]
-        dma(l).wait()
-        roff = roff_ref[l, i]
-        band = bands[l]
+    for mq in range(nmc):
+        slot = mq % 2
+        if mq + 1 < nmc:
+            q_dma((mq + 1) % 2, mq + 1).start()
+        q_dma(slot, mq).wait()
+        for mi in range(MC):
+            m = mq * MC + mi
+            if m >= ntx:
+                break
+            acc_out = None
+            for l, plan in enumerate(plans):
+                wh, ww = plan["wh"], plan["ww"]
+                base_x = plan["base_x"]
+                roff = roff_ref[l, i]
+                band = bands[l]
+                qb = l * 5 * P
 
-        iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww, _Q_LANES), 0)
-        iot_h = jax.lax.broadcasted_iota(jnp.int32, (wh, _Q_LANES), 0)
+                iot_w = jax.lax.broadcasted_iota(
+                    jnp.int32, (ww, _Q_LANES), 0)
+                iot_h = jax.lax.broadcasted_iota(
+                    jnp.int32, (wh, _Q_LANES), 0)
 
-        for m in range(ntx):
-            acc = jnp.zeros((wh, ww, _Q_LANES), jnp.float32)
-            for p in range(P):
-                wy0 = wy0_ref[0, 0, 0, m, pl.ds(p, 1), :]
-                fy = fy_ref[0, 0, 0, m, pl.ds(p, 1), :]
-                wx0 = wx0_ref[0, 0, 0, m, pl.ds(p, 1), :]
-                fxw0 = fxw0_ref[0, 0, 0, m, pl.ds(p, 1), :]
-                fxw1 = fxw1_ref[0, 0, 0, m, pl.ds(p, 1), :]
-                wx = ((iot_w == wx0).astype(fxw0.dtype) * fxw0
-                      + (iot_w == (wx0 + 1)).astype(fxw0.dtype) * fxw1)
-                wy = ((iot_h == wy0).astype(fy.dtype) * (1.0 - fy)
-                      + (iot_h == (wy0 + 1)).astype(fy.dtype) * fy)
-                acc = acc + wy[:, None, :] * wx[None, :, :]
-            amat[0:wh * ww] = acc.reshape(wh * ww, _Q_LANES)
+                acc = jnp.zeros((wh, ww, _Q_LANES), jnp.float32)
+                for pp in range(P):
+                    # corner indices ride the float stack as exact small
+                    # floats; back to int32 for the iota compare
+                    wy0 = qbuf[slot, mi,
+                               pl.ds(qb + pp, 1), :].astype(jnp.int32)
+                    fy = qbuf[slot, mi, pl.ds(qb + P + pp, 1), :]
+                    wx0 = qbuf[slot, mi,
+                               pl.ds(qb + 2 * P + pp, 1), :].astype(
+                                   jnp.int32)
+                    fxw0 = qbuf[slot, mi, pl.ds(qb + 3 * P + pp, 1), :]
+                    fxw1 = qbuf[slot, mi, pl.ds(qb + 4 * P + pp, 1), :]
+                    wx = ((iot_w == wx0).astype(jnp.float32) * fxw0
+                          + (iot_w == (wx0 + 1)).astype(jnp.float32)
+                          * fxw1)
+                    wy = ((iot_h == wy0).astype(jnp.float32) * (1.0 - fy)
+                          + (iot_h == (wy0 + 1)).astype(jnp.float32)
+                          * fy)
+                    acc = acc + wy[:, None, :] * wx[None, :, :]
+                amat[0:wh * ww] = acc.reshape(wh * ww, _Q_LANES)
 
-            win = band[pl.ds(roff, wh), pl.ds(int(base_x[m]), ww), :d]
-            win = win.reshape(wh * ww, d)
-            term = jax.lax.dot_general(
-                amat[0:wh * ww], win.astype(jnp.float32),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if l == 0:
-                out_ref[0, 0, 0, m] = term
-            else:
-                out_ref[0, 0, 0, m] += term
+                win = band[pl.ds(roff, wh),
+                           pl.ds(int(base_x[m]), ww), :d]
+                win = win.reshape(wh * ww, d)
+                term = jax.lax.dot_general(
+                    amat[0:wh * ww], win.astype(jnp.float32),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc_out = term if acc_out is None else acc_out + term
+            out_ref[0, 0, 0, m] = acc_out
 
 
 def prepare_padded_value(value, radius, ext_y8, ext_x8):
@@ -309,7 +352,9 @@ def prepare_padded_value(value, radius, ext_y8, ext_x8):
 
 def _qargs_for_level(off, w, value_dtype, query_hw, plan):
     """XLA-side prep of one level's folded corner/weight tensors in the
-    q-on-lanes tiled layout (same math as `_pallas_level`)."""
+    q-on-lanes tiled layout (same math as `_pallas_level`, but wx0 is
+    relative to the 8-ALIGNED window start basex8 — the fused kernel's
+    dynamic x slice)."""
     B = off.shape[0]
     Hq, Wq = query_hw
     P = w.shape[-1]
@@ -369,23 +414,29 @@ def msda_windowed_fused(vps, offs, ws, query_hw, radius, plans, d,
     nty, ntx = plan0["nty"], plan0["ntx"]
     TH, TW = plan0["TH"], plan0["TW"]
 
-    args = []
+    # one stacked q-arg array: (B, nty, h, ntx, L*5*P, 128); the integer
+    # corner indices are stored as exact small floats
+    stacks = []
     for l in range(L):
-        args.extend(_qargs_for_level(offs[l], ws[l], jnp.float32, query_hw,
-                                     plans[l]))
+        a = _qargs_for_level(offs[l], ws[l], jnp.float32, query_hw,
+                             plans[l])
+        stacks.extend([x.astype(jnp.float32) for x in a])
+    qstack = jnp.concatenate(stacks, axis=4)
 
-    base8 = np.stack([p["base8"] for p in plans]).astype(np.int32)
+    MC = min(4, ntx)
+    ntx_pad = -(-ntx // MC) * MC
+    if ntx_pad != ntx:
+        # the chunked DMA reads whole MC-tile chunks; compute skips m>=ntx
+        qstack = jnp.pad(qstack, ((0, 0), (0, 0), (0, 0),
+                                  (0, ntx_pad - ntx), (0, 0), (0, 0)))
+
+    table = np.stack([p["base8"] for p in plans]).astype(np.int32)
     roff = np.stack([p["roff"] for p in plans]).astype(np.int32)
-
-    qspec = pl.BlockSpec(
-        (1, 1, 1, ntx, P, _Q_LANES),
-        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
-        memory_space=pltpu.VMEM)
     amat_rows = max(p["wh"] * p["ww"] for p in plans)
 
-    plans_k = [dict(p, P=P) for p in plans]
+    plans_k = [dict(p, P=P, MC=MC) for p in plans]
     # the kernel band scratch spans each vp's actual (possibly shared/max)
-    # column extent so the static base_x slices stay in range
+    # column extent so the static window slices stay in range
     for p, vp in zip(plans_k, vps):
         p["ext_x8"] = int(vp.shape[3])
 
@@ -394,8 +445,7 @@ def msda_windowed_fused(vps, offs, ws, query_hw, radius, plans, d,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nty, h),
-            in_specs=[qspec] * (5 * L) + [
-                pl.BlockSpec(memory_space=pl.ANY)] * L,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 + L),
             out_specs=pl.BlockSpec(
                 (1, 1, 1, ntx, _Q_LANES, d),
                 lambda b, i, j, *_: (b, i, j, 0, 0, 0),
@@ -406,12 +456,14 @@ def msda_windowed_fused(vps, offs, ws, query_hw, radius, plans, d,
                 for p, vp in zip(plans_k, vps)
             ] + [
                 pltpu.SemaphoreType.DMA((L,)),
+                pltpu.VMEM((2, MC, L * 5 * P, _Q_LANES), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((amat_rows, _Q_LANES), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((B, nty, h, ntx, _Q_LANES, d),
                                        jnp.float32),
         interpret=interpret,
-    )(jnp.asarray(base8), jnp.asarray(roff), *args, *vps)
+    )(jnp.asarray(table), jnp.asarray(roff), qstack, *vps)
 
     out = out.reshape(B, nty, h, ntx, TH, TW, d).transpose(
         0, 1, 4, 3, 5, 2, 6).reshape(B, nty * TH, ntx * TW, h, d)
@@ -665,7 +717,8 @@ msda_windowed_group.defvjp(_group_fwd, _group_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def msda_windowed_level(value, off, w, query_hw, radius):
-    """Pallas forward / XLA-tiled backward windowed sampling for one level.
+    """Pallas forward windowed sampling for one level. Backward: Pallas
+    d_off/d_w kernel + value-only XLA tiled VJP (see `_group_bwd`).
 
     Same contract as `_windowed_level_tiled`."""
     plan = _plan(query_hw, (value.shape[1], value.shape[2]), radius)
@@ -679,10 +732,13 @@ def _fwd(value, off, w, query_hw, radius):
 
 def _bwd(query_hw, radius, res, g):
     value, off, w = res
-    _, vjp = jax.vjp(
-        lambda v, o, ww_: _msda._windowed_level_tiled(
-            v, o, ww_, query_hw, radius), value, off, w)
-    return vjp(g)
+    do, dw = msda_windowed_level_bwd_offw(value, off, w, g, query_hw,
+                                          radius)
+    _, vjp_v = jax.vjp(
+        lambda v: _msda._windowed_level_tiled(
+            v, off, w, query_hw, radius), value)
+    dv, = vjp_v(g)
+    return dv, do, dw
 
 
 msda_windowed_level.defvjp(_fwd, _bwd)

@@ -181,3 +181,39 @@ def test_msda_windowed_fused_group_parity_and_grads():
     for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_taps)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_msda_windowed_level_pallas_backward_parity():
+    """Default-path single-level kernel: Pallas d_off/d_w backward +
+    value-only tiled VJP == taps-reference autodiff (interpret mode)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gedepth_tpu.ops.msda import msda_sample_windowed
+    from gedepth_tpu.ops.pallas.msda_windowed import msda_windowed_level
+
+    rng = np.random.default_rng(9)
+    B, h, d, P, R = 1, 2, 8, 4, 4
+    Hq, Wq = 16, 40
+    Hv, Wv = 8, 20
+    v = jnp.asarray(rng.standard_normal((B, Hv, Wv, h, d))
+                    .astype(np.float32))
+    off = jnp.asarray(rng.uniform(-R, R, (B, Hq * Wq, h, P, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, Hq * Wq, h, P))
+                    .astype(np.float32))
+
+    def loss_pallas(v_, o_, w_):
+        out = msda_windowed_level(v_, o_, w_, (Hq, Wq), R)
+        return jnp.sum(out * out)
+
+    def loss_taps(v_, o_, w_):
+        out = msda_sample_windowed(
+            [v_], o_[:, :, :, None], w_[:, :, :, None], (Hq, Wq),
+            radius=R, impl="taps")
+        return jnp.sum(out.reshape(B, Hq * Wq, h, d) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(v, off, w)
+    gt = jax.grad(loss_taps, argnums=(0, 1, 2))(v, off, w)
+    for a, b in zip(gp, gt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
