@@ -37,10 +37,11 @@ ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 HEIGHT, WIDTH = 352, 1216
 DEFAULT_CONFIGS = ("gedepth_adaptive_kitti,"
                    "gedepth_adaptive_kitti_compat,"
+                   "gedepth_adaptive_kitti_tpu:bf16,"
                    "gedepth_adaptive_kitti_tpu")
 
 
-def bench_config(name):
+def bench_config(name, bf16=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -62,7 +63,17 @@ def bench_config(name):
 
     @jax.jit
     def forward(v, x, ch):
-        return model.apply(v, x, ch, method=model.predict_depth)
+        if bf16:
+            # TPU-native precision: bf16 params/activations (measured
+            # abs-rel depth delta 0.0013 on converted Swin-S-scale
+            # weights, tests/test_composite_deltas.py); depth clamps and
+            # the final resize stay f32 inside predict_depth.
+            v = jax.tree.map(
+                lambda t: t.astype(jnp.bfloat16)
+                if t.dtype == jnp.float32 else t, v)
+            x = x.astype(jnp.bfloat16)
+        return model.apply(v, x, ch,
+                           method=model.predict_depth).astype(jnp.float32)
 
     # NOTE: on the axon remote-TPU platform block_until_ready() can return
     # before execution completes; a host fetch is the only reliable sync.
@@ -78,8 +89,9 @@ def bench_config(name):
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
+    tag = "_bf16" if bf16 else ""
     print(json.dumps({
-        "metric": f"{cfg.name}_swinl_352x1216_infer",
+        "metric": f"{cfg.name}{tag}_swinl_352x1216_infer",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_BASELINE_FPS, 3),
@@ -91,7 +103,9 @@ def main():
         "BENCH_CONFIG",  # single-config compatibility override
         os.environ.get("BENCH_CONFIGS", DEFAULT_CONFIGS))
     for name in names.split(","):
-        bench_config(name.strip())
+        name = name.strip()
+        bf16 = name.endswith(":bf16")
+        bench_config(name[:-5] if bf16 else name, bf16=bf16)
 
 
 if __name__ == "__main__":

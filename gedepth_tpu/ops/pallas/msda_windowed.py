@@ -730,15 +730,30 @@ def _fwd(value, off, w, query_hw, radius):
                                                                   off, w)
 
 
+def _use_pallas_bwd():
+    """The Pallas d_off/d_w backward is numerically verified but Mosaic
+    compiles it pathologically slowly (~2 min for a TINY shape; the model
+    needs ~10 distinct shapes), so the XLA tiled VJP stays the default
+    until the kernel is restructured for compile time. Opt in with
+    GEDEPTH_MSDA_PALLAS_BWD=1 (cached compiles amortise across runs)."""
+    import os
+    return os.environ.get("GEDEPTH_MSDA_PALLAS_BWD") == "1"
+
+
 def _bwd(query_hw, radius, res, g):
     value, off, w = res
-    do, dw = msda_windowed_level_bwd_offw(value, off, w, g, query_hw,
-                                          radius)
-    _, vjp_v = jax.vjp(
-        lambda v: _msda._windowed_level_tiled(
-            v, off, w, query_hw, radius), value)
-    dv, = vjp_v(g)
-    return dv, do, dw
+    if _use_pallas_bwd():
+        do, dw = msda_windowed_level_bwd_offw(value, off, w, g, query_hw,
+                                              radius)
+        _, vjp_v = jax.vjp(
+            lambda v: _msda._windowed_level_tiled(
+                v, off, w, query_hw, radius), value)
+        dv, = vjp_v(g)
+        return dv, do, dw
+    _, vjp = jax.vjp(
+        lambda v, o, ww_: _msda._windowed_level_tiled(
+            v, o, ww_, query_hw, radius), value, off, w)
+    return vjp(g)
 
 
 msda_windowed_level.defvjp(_fwd, _bwd)
