@@ -265,6 +265,15 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
         from gedepth_tpu.ops.pallas.msda_windowed import (
             _plan, msda_windowed_group, msda_windowed_level)
 
+        orig_dtype = value_levels[0].dtype
+        if orig_dtype != jnp.float32:
+            # Mosaic rejects the kernel's sub-lane shape casts in bf16;
+            # the sampling operator runs f32 with boundary casts (bf16
+            # still covers the backbone/projection matmuls around it)
+            value_levels = [v.astype(jnp.float32) for v in value_levels]
+            offsets_px = offsets_px.astype(jnp.float32)
+            weights = weights.astype(jnp.float32)
+
         plans = [_plan(query_hw, (v.shape[1], v.shape[2]), radius)
                  for v in value_levels]
         if os.environ.get("GEDEPTH_MSDA_FUSE", "0") == "0":
@@ -288,7 +297,7 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
                 term = fn(v, offsets_px[:, :, :, l], weights[:, :, :, l],
                           query_hw, radius)
                 out = term if out is None else out + term
-            return out.reshape(B, Nq, h * d)
+            return out.astype(orig_dtype).reshape(B, Nq, h * d)
         budget = 8 * 1024 * 1024
         groups, cur, cur_bytes = [], [], 0
         fallback = []
@@ -334,7 +343,7 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
                 term = level_fn(value_levels[l], offsets_px[:, :, :, l],
                                 weights[:, :, :, l])
                 out = term if out is None else out + term
-        return out.reshape(B, Nq, h * d)
+        return out.astype(orig_dtype).reshape(B, Nq, h * d)
     elif impl == "tiled":
         def level_fn(value, off, w):
             return _windowed_level_tiled(value, off, w, query_hw, radius,

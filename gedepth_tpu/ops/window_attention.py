@@ -34,11 +34,14 @@ import jax.numpy as jnp
 def window_attention_xla(q, k, v, bias, mask=None):
     nWB, N, H, D = q.shape
     attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
-    attn = attn + bias[None]
+    # keep reduced-precision activations reduced: the f32 mask/bias
+    # constants must not promote a bf16 attention path (the scanned Swin
+    # stages require a dtype-stable carry)
+    attn = attn + bias[None].astype(attn.dtype)
     if mask is not None:
         nW = mask.shape[0]
         attn = attn.reshape(nWB // nW, nW, H, N, N)
-        attn = attn + mask[None, :, None]
+        attn = attn + mask[None, :, None].astype(attn.dtype)
         attn = attn.reshape(nWB, H, N, N)
     attn = jax.nn.softmax(attn, axis=-1)
     out = jnp.einsum("bhnm,bmhd->bnhd", attn, v)
