@@ -102,9 +102,167 @@ def _lin_w(v):
     return np.transpose(v, (1, 0))
 
 
-def _map_torch_key(k: str):
+def _hrnet_cbn(base, kind, leaf):
+    """Leaf of a flax _ConvBN ('conv'/'bn' submodules) from a torch
+    conv/bn pair (mmcv Sequential or named conv{n}/bn{n})."""
+    if kind == "conv":
+        if leaf == "weight":
+            return [("params", base + ("conv", "kernel"), _conv_w)]
+        return None
+    if leaf == "num_batches_tracked":
+        return []
+    if leaf in ("weight", "bias"):
+        return [("params", base + ("bn",
+                                   "scale" if leaf == "weight" else "bias"),
+                 None)]
+    if leaf in ("running_mean", "running_var"):
+        return [("batch_stats",
+                 base + ("bn", "mean" if leaf == "running_mean" else "var"),
+                 None)]
+    return None
+
+
+def _map_hrnet_key(k: str):
+    """mmcv HRNet state-dict keys (reference depth/models/backbones/
+    hrnet.py:571-931 module layout) -> flax models/hrnet.py tree."""
+    m = re.match(r"backbone\.conv([12])\.weight$", k)
+    if m:
+        return [("params", ("backbone", f"stem{m.group(1)}", "conv",
+                            "kernel"), _conv_w)]
+    m = re.match(r"backbone\.bn([12])\.(\w+)$", k)
+    if m:
+        return _hrnet_cbn(("backbone", f"stem{m.group(1)}"), "bn", m.group(2))
+
+    # residual blocks: layer1.{b}.* and stage{s}.{m}.branches.{i}.{b}.*
+    m = re.match(r"backbone\.layer1\.(\d+)\.(.*)$", k)
+    block_base = None
+    if m:
+        block_base = ("backbone", f"layer1_block{m.group(1)}")
+        rest = m.group(2)
+    else:
+        m = re.match(r"backbone\.stage(\d)\.(\d+)\.branches\.(\d+)\.(\d+)\."
+                     r"(.*)$", k)
+        if m:
+            block_base = ("backbone",
+                          f"stage{m.group(1)}_module{m.group(2)}",
+                          f"branch{m.group(3)}_block{m.group(4)}")
+            rest = m.group(5)
+    if block_base is not None:
+        mm = re.match(r"conv(\d)\.weight$", rest)
+        if mm:
+            return _hrnet_cbn(block_base + (f"convbn{mm.group(1)}",),
+                              "conv", "weight")
+        mm = re.match(r"bn(\d)\.(\w+)$", rest)
+        if mm:
+            return _hrnet_cbn(block_base + (f"convbn{mm.group(1)}",),
+                              "bn", mm.group(2))
+        mm = re.match(r"downsample\.([01])\.(\w+)$", rest)
+        if mm:
+            return _hrnet_cbn(block_base + ("downsample",),
+                              "conv" if mm.group(1) == "0" else "bn",
+                              mm.group(2))
+        return None
+
+    # transitions: existing-branch adapt Sequential(conv,bn,relu) vs
+    # new-branch nested Sequential(Sequential(conv,bn,relu), ...)
+    m = re.match(r"backbone\.transition(\d)\.(\d+)\.([01])\.(\w+)$", k)
+    if m:
+        base = ("backbone", f"t{int(m.group(1)) + 1}_adapt{m.group(2)}")
+        return _hrnet_cbn(base, "conv" if m.group(3) == "0" else "bn",
+                          m.group(4))
+    m = re.match(r"backbone\.transition(\d)\.(\d+)\.(\d+)\.([01])\.(\w+)$",
+                 k)
+    if m:
+        # flax models a single-step new branch (stage transitions only ever
+        # add one scale); deeper chains are not produced by parse_arch
+        if m.group(3) != "0":
+            return None
+        base = ("backbone", f"t{int(m.group(1)) + 1}_new{m.group(2)}")
+        return _hrnet_cbn(base, "conv" if m.group(4) == "0" else "bn",
+                          m.group(5))
+
+    # fuse layers: j>i Sequential(conv1x1,bn,upsample); j<i nested chain
+    m = re.match(r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\."
+                 r"([01])\.(\w+)$", k)
+    if m:
+        s, mod, i, j = m.group(1), m.group(2), int(m.group(3)), int(m.group(4))
+        base = ("backbone", f"stage{s}_module{mod}", "fuse", f"up{i}_{j}")
+        if j <= i:
+            return None
+        return _hrnet_cbn(base, "conv" if m.group(5) == "0" else "bn",
+                          m.group(6))
+    m = re.match(r"backbone\.stage(\d)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\."
+                 r"(\d+)\.([01])\.(\w+)$", k)
+    if m:
+        s, mod, i, j, kk = (m.group(1), m.group(2), int(m.group(3)),
+                            int(m.group(4)), m.group(5))
+        if j >= i:
+            return None
+        base = ("backbone", f"stage{s}_module{mod}", "fuse",
+                f"down{i}_{j}_{kk}")
+        return _hrnet_cbn(base, "conv" if m.group(6) == "0" else "bn",
+                          m.group(7))
+    return None
+
+
+def _timm_effnet_bn(base, leaf):
+    if leaf == "num_batches_tracked":
+        return []
+    if leaf in ("weight", "bias"):
+        return [("params", base + ("bn",
+                                   "scale" if leaf == "weight" else "bias"),
+                 None)]
+    if leaf in ("running_mean", "running_var"):
+        return [("batch_stats",
+                 base + ("bn", "mean" if leaf == "running_mean" else "var"),
+                 None)]
+    return None
+
+
+def _map_timm_effnet_key(k: str):
+    """timm gen-efficientnet keys (reference efficientnet.py wraps
+    tf_efficientnet_b5_ap as `backbone.original_model`) ->
+    models/efficientnet.py TimmEfficientNet tree."""
+    rest = k[len("backbone.original_model."):]
+    if rest == "conv_stem.weight":
+        return [("params", ("backbone", "conv_stem", "conv", "kernel"),
+                 _conv_w)]
+    m = re.match(r"bn1\.(\w+)$", rest)
+    if m:
+        return _timm_effnet_bn(("backbone", "bn1"), m.group(1))
+    if rest == "conv_head.weight":
+        return [("params", ("backbone", "conv_head", "conv", "kernel"),
+                 _conv_w)]
+    if re.match(r"(bn2|classifier|global_pool)\.", rest):
+        return []  # past the deepest endpoint (out_index stops at 11)
+    m = re.match(r"blocks\.(\d+)\.(\d+)\.(.*)$", rest)
+    if m:
+        base = ("backbone", f"blocks{m.group(1)}_{m.group(2)}")
+        sub = m.group(3)
+        mm = re.match(r"(conv_pw|conv_dw|conv_pwl)\.weight$", sub)
+        if mm:
+            return [("params", base + (mm.group(1), "conv", "kernel"),
+                     _conv_w)]
+        mm = re.match(r"(bn\d)\.(\w+)$", sub)
+        if mm:
+            return _timm_effnet_bn(base + (mm.group(1),), mm.group(2))
+        mm = re.match(r"se\.(conv_reduce|conv_expand)\.(weight|bias)$", sub)
+        if mm:
+            t = _conv_w if mm.group(2) == "weight" else None
+            return [("params", base + ("se", mm.group(1),
+                                       "kernel" if mm.group(2) == "weight"
+                                       else "bias"), t)]
+        return None
+    return None
+
+
+def _map_torch_key(k: str, hrnet: bool = False):
     """Return list of (collection, path, transform) for a torch key, or []
     to drop. collection is 'params' or 'batch_stats'."""
+    if hrnet and k.startswith("backbone."):
+        return _map_hrnet_key(k)
+    if k.startswith("backbone.original_model."):
+        return _map_timm_effnet_key(k)
     # ---- backbone ----
     m = re.match(r"backbone\.patch_embed\.projection\.(weight|bias)$", k)
     if m:
@@ -607,8 +765,12 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     params: dict = {}
     stats: dict = {}
     unmapped = []
+    # HRNet backbones share the conv1/bn1 stem names with the DepthFormer
+    # hybrid conv-stem; disambiguate on HRNet-only structural keys.
+    hrnet = any(".fuse_layers." in k or k.startswith("backbone.transition")
+                for k in sd)
     for k, v in sd.items():
-        mapped = _map_torch_key(k)
+        mapped = _map_torch_key(k, hrnet=hrnet)
         if mapped is None:
             unmapped.append(k)
             if strict:

@@ -15,7 +15,16 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from gedepth_tpu.models.resnet import BasicBlock, Bottleneck, _ConvBN
-from gedepth_tpu.ops.resize import resize_bilinear
+
+
+def _upsample_nearest(x, hw):
+    """Nearest 2**k upsample (reference hrnet.py:508-509 nn.Upsample
+    mode='nearest'), via repeat + crop so odd target sizes stay safe."""
+    h, w = hw
+    ry = -(-h // x.shape[1])
+    rx = -(-w // x.shape[2])
+    x = jnp.repeat(jnp.repeat(x, ry, axis=1), rx, axis=2)
+    return x[:, :h, :w]
 
 HRNET_CFGS = {
     "w18": ((1, (4,), (64,)),
@@ -48,10 +57,11 @@ class _FuseLayer(nn.Module):
                 if j == i:
                     y = x
                 elif j > i:
-                    # upsample coarse -> fine: 1x1 conv + bilinear
+                    # upsample coarse -> fine: 1x1 conv + NEAREST
+                    # (reference hrnet.py:496-509)
                     y = _ConvBN(self.channels[i], 1,
                                 name=f"up{i}_{j}")(x, train)
-                    y = resize_bilinear(y, xs[i].shape[1:3])
+                    y = _upsample_nearest(y, xs[i].shape[1:3])
                 else:
                     # downsample fine -> coarse: strided 3x3 chain
                     y = x
@@ -93,13 +103,14 @@ class HRNet(nn.Module):
         x = nn.relu(_ConvBN(64, 3, stride=2, name="stem1")(x, train))
         x = nn.relu(_ConvBN(64, 3, stride=2, name="stem2")(x, train))
 
-        # stage 1: 4 Bottlenecks at /4 (out 256ch)
+        # stage 1: Bottlenecks at /4 (w18/32/48: 4 x 64 planes -> 256ch)
+        planes1 = cfg[0][2][0]
         for b in range(cfg[0][1][0]):
-            x = Bottleneck(64, downsample=(b == 0),
+            need_down = b == 0 and x.shape[-1] != planes1 * 4
+            x = Bottleneck(planes1, downsample=need_down,
                            name=f"layer1_block{b}")(x, train)
 
         branches = [x]
-        prev_channels = (256,)
         for stage_idx, (num_modules, num_blocks, channels) in enumerate(
                 cfg[1:], start=2):
             # transition: adapt existing branches + create the new one
