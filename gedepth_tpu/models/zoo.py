@@ -53,10 +53,19 @@ class ZooDepther(nn.Module):
         out = {"y": None, "slope_logits": None, "pe_mask": None}
 
         if self.arch == "adabins":
-            from gedepth_tpu.models.efficientnet import EfficientNet
             from gedepth_tpu.models.adabins import AdabinsHead
-            feats = EfficientNet(self.backbone_variant or "b0",
-                                 name="backbone")(rgb, train=train)
+            variant = self.backbone_variant or "b0"
+            if variant.startswith("tf_"):
+                # checkpoint-faithful timm backbone (the reference wraps
+                # tf_efficientnet_b5_ap; released AdaBins ckpts need its
+                # exact endpoints/channels)
+                from gedepth_tpu.models.efficientnet import TimmEfficientNet
+                feats = TimmEfficientNet(variant, name="backbone")(
+                    rgb, train=train)
+            else:
+                from gedepth_tpu.models.efficientnet import EfficientNet
+                feats = EfficientNet(variant, name="backbone")(
+                    rgb, train=train)
             widths = tuple(
                 self.head_channels * (2 ** i) for i in range(len(feats)))
             depth, edges = AdabinsHead(

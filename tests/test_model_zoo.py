@@ -96,6 +96,22 @@ def test_extra_datasets_split_parsing(tmp_path):
     assert cds[0]["img"].shape == (20, 30, 3)
 
 
+def test_timm_efficientnet_b5_endpoints():
+    """tf_b5 must emit the reference AdaBins endpoints — channels
+    (24, 40, 64, 176, 2048) at strides /2 /4 /8 /16 /32 (reference
+    efficientnet.py out_index=[4,5,6,8,11], adabins.py in_channels)."""
+    from gedepth_tpu.models.efficientnet import TimmEfficientNet
+    m = TimmEfficientNet("tf_b5")
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(v, x)
+    assert [tuple(o.shape) for o in outs] == [
+        (1, 32, 48, 24), (1, 16, 24, 40), (1, 8, 12, 64),
+        (1, 4, 6, 176), (1, 2, 3, 2048)]
+    n = sum(p.size for p in jax.tree.leaves(v["params"]))
+    assert 25e6 < n < 35e6  # b5 trunk ~28M
+
+
 def test_hrnet_w18_pyramid():
     from gedepth_tpu.models.hrnet import HRNet
     m = HRNet("w18")
