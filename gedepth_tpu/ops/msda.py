@@ -267,12 +267,14 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
 
         orig_dtype = value_levels[0].dtype
         if orig_dtype != jnp.float32:
-            # Mosaic rejects the kernel's sub-lane shape casts in bf16;
-            # the sampling operator runs f32 with boundary casts (bf16
-            # still covers the backbone/projection matmuls around it)
-            value_levels = [v.astype(jnp.float32) for v in value_levels]
+            # bf16 VALUE bands ride through the kernel natively (half the
+            # band DMA bytes; the MXU contraction runs bf16 x bf16 -> f32),
+            # but the A-build needs f32 sub-pixel offsets/weights, and the
+            # fused multi-level variant is f32-only.
             offsets_px = offsets_px.astype(jnp.float32)
             weights = weights.astype(jnp.float32)
+            if os.environ.get("GEDEPTH_MSDA_FUSE", "0") != "0":
+                value_levels = [v.astype(jnp.float32) for v in value_levels]
 
         plans = [_plan(query_hw, (v.shape[1], v.shape[2]), radius)
                  for v in value_levels]

@@ -86,8 +86,8 @@ def _plan(query_hw, value_hw, radius):
                 ext_x8=ext_x8, basex8=basex8, rxoff=rxoff, ww8=ww8)
 
 
-def _kernel(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fxw0_ref,
-            fxw1_ref, vp_ref, out_ref, band, sem, amat, *, plan, d):
+def _kernel(base8_ref, roff_ref, off_ref, w_ref, vp_ref, out_ref, band,
+            sem, amat, *, plan, d):
     ntx = plan["ntx"]
     wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
     base_x = plan["base_x"]
@@ -109,11 +109,21 @@ def _kernel(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fxw0_ref,
     for m in range(ntx):
         acc = jnp.zeros((wh, ww, _Q_LANES), jnp.float32)
         for p in range(plan["P"]):
-            wy0 = wy0_ref[0, 0, 0, m, pl.ds(p, 1), :]   # (1, 128) int32
-            fy = fy_ref[0, 0, 0, m, pl.ds(p, 1), :]     # (1, 128)
-            wx0 = wx0_ref[0, 0, 0, m, pl.ds(p, 1), :]
-            fxw0 = fxw0_ref[0, 0, 0, m, pl.ds(p, 1), :]
-            fxw1 = fxw1_ref[0, 0, 0, m, pl.ds(p, 1), :]
+            # anchored offsets (window base + residual folded in on the
+            # XLA side — the integer base survives floor() exactly) ride
+            # the lane layout raw: 3P lanes of HBM traffic instead of 5P
+            # and no XLA-side corner-split materialisation
+            ty = off_ref[0, 0, 0, m, 1, pl.ds(p, 1), :]
+            tx = off_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
+            wp = w_ref[0, 0, 0, m, pl.ds(p, 1), :]
+            y0f = jnp.floor(ty)
+            x0f = jnp.floor(tx)
+            fy = ty - y0f
+            fx = tx - x0f
+            wy0 = y0f.astype(jnp.int32)
+            wx0 = x0f.astype(jnp.int32)
+            fxw0 = (1.0 - fx) * wp
+            fxw1 = fx * wp
             # (ww, 128): attention-weighted x-corner weights
             wx = ((iot_w == wx0).astype(fxw0.dtype) * fxw0
                   + (iot_w == (wx0 + 1)).astype(fxw0.dtype) * fxw1)
@@ -124,10 +134,16 @@ def _kernel(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fxw0_ref,
         amat[...] = acc.reshape(wh * ww, _Q_LANES)
 
         win = band[pl.ds(roff, wh), pl.ds(int(base_x[m]), ww), :d]
-        win = win.reshape(wh * ww, d)
+        # Mosaic's shape-cast only lowers in f32 — reshape there, then
+        # drop back to bf16 for a native MXU bf16 x bf16 -> f32 dot when
+        # the value band is bf16 (half the DMA bytes of the f32 path)
+        win = win.astype(jnp.float32).reshape(wh * ww, d)
+        a = amat[...]
+        if band.dtype == jnp.bfloat16:
+            a = a.astype(jnp.bfloat16)
+            win = win.astype(jnp.bfloat16)
         out_ref[0, 0, 0, m] = jax.lax.dot_general(
-            amat[...], win.astype(amat.dtype),
-            (((0,), (0,)), ((), ())),
+            a, win, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
@@ -157,32 +173,34 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
                          (0, _D_LANES - d)))
     vp = vp.transpose(0, 3, 1, 2, 4)
 
-    res_y = jnp.asarray(plan["res_y"].reshape(nty * TH))
-    rel_y = jnp.asarray(plan["rel_y"].reshape(nty * TH))
-    res_x = jnp.asarray(plan["res_x"].reshape(ntx * TW))
-    rel_x = jnp.asarray(plan["rel_x"].reshape(ntx * TW))
+    # fold each query's window anchor (integer window-relative base rel +
+    # fractional residual res) into the offsets: one tiny broadcast add
+    # that XLA fuses into the lane-layout transpose; floor() inside the
+    # kernel recovers the integer corner index exactly
+    comb_y = (plan["rel_y"].astype(np.float64)
+              + plan["res_y"]).reshape(nty * TH).astype(np.float32)
+    comb_x = (plan["rel_x"].astype(np.float64)
+              + plan["res_x"]).reshape(ntx * TW).astype(np.float32)
+    anchor = np.zeros((nty * TH, ntx * TW, 2), np.float32)
+    anchor[..., 1] = comb_y[:, None]
+    anchor[..., 0] = comb_x[None, :]
+    off = off.astype(jnp.float32) + jnp.asarray(anchor)[None, :, :, None,
+                                                        None, :]
 
-    ty = res_y[None, :, None, None, None] + off[..., 1]
-    tx = res_x[None, None, :, None, None] + off[..., 0]
-    y0 = jnp.floor(ty)
-    x0 = jnp.floor(tx)
-    fy = (ty - y0).astype(value.dtype)
-    fx = (tx - x0).astype(value.dtype)
-    wy0 = rel_y[None, :, None, None, None] + y0.astype(jnp.int32)
-    wx0 = rel_x[None, None, :, None, None] + x0.astype(jnp.int32)
-    fxw0 = (1.0 - fx) * w
-    fxw1 = fx * w
-
-    def to_lanes(x):
-        # (B, Hqp, Wqp, h, P) -> (B, nty, h, ntx, P, TH*TW)
-        x = x.reshape(B, nty, TH, ntx, TW, h, P)
-        return x.transpose(0, 1, 5, 3, 6, 2, 4).reshape(
-            B, nty, h, ntx, P, TH * TW)
-
-    args = [to_lanes(a) for a in (wy0, fy, wx0, fxw0, fxw1)]
+    # anchored offsets/weights to lane layout — the only big relayouts
+    off_t = off.reshape(
+        B, nty, TH, ntx, TW, h, P, 2).transpose(
+        0, 1, 5, 3, 7, 6, 2, 4).reshape(B, nty, h, ntx, 2, P, TH * TW)
+    w_t = w.astype(jnp.float32).reshape(
+        B, nty, TH, ntx, TW, h, P).transpose(
+        0, 1, 5, 3, 6, 2, 4).reshape(B, nty, h, ntx, P, TH * TW)
 
     # index maps receive the scalar-prefetch refs as trailing args
-    qspec = pl.BlockSpec(
+    off_spec = pl.BlockSpec(
+        (1, 1, 1, ntx, 2, P, _Q_LANES),
+        lambda b, i, j, *_: (b, i, j, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
         (1, 1, 1, ntx, P, _Q_LANES),
         lambda b, i, j, *_: (b, i, j, 0, 0, 0),
         memory_space=pltpu.VMEM)
@@ -192,8 +210,8 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(B, nty, h),
-            in_specs=[qspec] * 5 + [
-                pl.BlockSpec(memory_space=pl.ANY)],   # padded value
+            in_specs=[off_spec, w_spec,
+                      pl.BlockSpec(memory_space=pl.ANY)],  # padded value
             out_specs=pl.BlockSpec(
                 (1, 1, 1, ntx, _Q_LANES, d),
                 lambda b, i, j, *_: (b, i, j, 0, 0, 0),
@@ -207,7 +225,7 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
                                        jnp.float32),
         interpret=interpret,
     )(jnp.asarray(plan["base8"], jnp.int32),
-      jnp.asarray(plan["roff"], jnp.int32), *args, vp)
+      jnp.asarray(plan["roff"], jnp.int32), off_t, w_t, vp)
 
     # (B, nty, h, ntx, TH*TW, d) -> (B, Nq, h, d)
     out = out.reshape(B, nty, h, ntx, TH, TW, d).transpose(
