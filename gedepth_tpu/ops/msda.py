@@ -263,7 +263,7 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
         # pairs whose window blows the per-level budget (coarse query grid
         # sampling a much finer level) use the XLA tiled path
         from gedepth_tpu.ops.pallas.msda_windowed import (
-            _plan, msda_windowed_group, msda_windowed_level)
+            _plan, msda_windowed_group, msda_windowed_levels)
 
         orig_dtype = value_levels[0].dtype
         if orig_dtype != jnp.float32:
@@ -279,25 +279,40 @@ def msda_sample_windowed(value_levels, offsets_px, weights, query_hw,
         plans = [_plan(query_hw, (v.shape[1], v.shape[2]), radius)
                  for v in value_levels]
         if os.environ.get("GEDEPTH_MSDA_FUSE", "0") == "0":
-            # DEFAULT: one pallas_call per (query grid, level). The fused
-            # multi-level variants (GEDEPTH_MSDA_FUSE=1) measured SLOWER on
-            # v5e in every configuration tried — full-ntx blocked q-args
-            # blow VMEM at full res; a column-tile grid dimension pays ~6us
+            # DEFAULT: per-level kernel launches behind ONE shared q-arg
+            # relayout + ONE output relayout per query grid
+            # (msda_windowed_levels). The in-kernel fused multi-level
+            # variants (GEDEPTH_MSDA_FUSE=1) measured SLOWER on v5e in
+            # every configuration tried — full-ntx blocked q-args blow
+            # VMEM at full res; a column-tile grid dimension pays ~6us
             # per step plus 3x-cost dynamic sublane window slices; manual
             # chunked q-arg DMA pays the stacking concat in HBM traffic.
-            # Kept behind the flag as the starting point for another
-            # attempt, with those three dead ends documented.
+            # Kept behind the flag with those dead ends documented.
+            kept = [l for l, p in enumerate(plans) if p is not None]
             out = None
-            lf = (jax.checkpoint(msda_windowed_level,
-                                 static_argnums=(3, 4))
-                  if remat else msda_windowed_level)
+            if kept:
+                exts_k = (tuple(value_exts[l] for l in kept)
+                          if value_exts is not None else None)
+                if kept == list(range(len(value_levels))):
+                    off_k, w_k = offsets_px, weights
+                else:
+                    off_k = jnp.stack(
+                        [offsets_px[:, :, :, l] for l in kept], axis=3)
+                    w_k = jnp.stack(
+                        [weights[:, :, :, l] for l in kept], axis=3)
+                gf = (jax.checkpoint(msda_windowed_levels,
+                                     static_argnums=(3, 4, 5))
+                      if remat else msda_windowed_levels)
+                out = gf(tuple(value_levels[l] for l in kept), off_k, w_k,
+                         query_hw, radius, exts_k)
             tf = (jax.checkpoint(_windowed_level_tiled,
                                  static_argnums=(3, 4))
                   if remat else _windowed_level_tiled)
-            for l, v in enumerate(value_levels):
-                fn = lf if plans[l] is not None else tf
-                term = fn(v, offsets_px[:, :, :, l], weights[:, :, :, l],
-                          query_hw, radius)
+            for l, p in enumerate(plans):
+                if p is not None:
+                    continue
+                term = tf(value_levels[l], offsets_px[:, :, :, l],
+                          weights[:, :, :, l], query_hw, radius)
                 out = term if out is None else out + term
             return out.astype(orig_dtype).reshape(B, Nq, h * d)
         budget = 8 * 1024 * 1024

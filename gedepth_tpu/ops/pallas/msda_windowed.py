@@ -80,10 +80,13 @@ def _plan(query_hw, value_hw, radius):
     amat_bytes = wh * ww8 * _Q_LANES * 4
     if band_bytes + amat_bytes > 8 * 1024 * 1024:
         return None
+    # double-buffer the band DMA (prefetch next grid step's band under the
+    # current step's A-build) when two bands fit the budget
+    db = 2 * band_bytes + amat_bytes <= 8 * 1024 * 1024
     return dict(TH=TH, TW=TW, nty=nty, ntx=ntx, wh=wh, ww=ww, wh8=wh8,
                 base8=base8, roff=roff, rel_y=rel_y, res_y=res_y,
                 ext_y8=ext_y8, base_x=base_x, rel_x=rel_x, res_x=res_x,
-                ext_x8=ext_x8, basex8=basex8, rxoff=rxoff, ww8=ww8)
+                ext_x8=ext_x8, basex8=basex8, rxoff=rxoff, ww8=ww8, db=db)
 
 
 def _kernel(base8_ref, roff_ref, off_ref, w_ref, vp_ref, out_ref, band,
@@ -91,31 +94,66 @@ def _kernel(base8_ref, roff_ref, off_ref, w_ref, vp_ref, out_ref, band,
     ntx = plan["ntx"]
     wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
     base_x = plan["base_x"]
+    nty, h = plan["nty"], pl.num_programs(2)
 
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
 
-    # value row band for this head: (wh8, ext_x8, 128)
-    copy = pltpu.make_async_copy(
-        vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)], band, sem)
-    copy.start()
-    copy.wait()
+    if plan["db"]:
+        # double-buffered band DMA: the (i, j) grid step prefetches the
+        # next step's value row band while this step's A-build/dot runs,
+        # hiding the band HBM read entirely
+        s = (b * nty + i) * h + j
+        nsteps = pl.num_programs(0) * nty * h
+        slot = jax.lax.rem(s, 2)
+
+        def start(step, which):
+            jn = jax.lax.rem(step, h)
+            rest = jax.lax.div(step, h)
+            in_ = jax.lax.rem(rest, nty)
+            bn = jax.lax.div(rest, nty)
+            pltpu.make_async_copy(
+                vp_ref.at[bn, jn, pl.ds(base8_ref[in_], wh8)],
+                band.at[which], sem.at[which]).start()
+
+        @pl.when(s == 0)
+        def _():
+            start(s, slot)
+
+        @pl.when(s + 1 < nsteps)
+        def _():
+            start(s + 1, 1 - slot)
+
+        pltpu.make_async_copy(
+            vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)],
+            band.at[slot], sem.at[slot]).wait()
+        band = band.at[slot]
+    else:
+        # value row band for this head: (wh8, ext_x8, 128)
+        copy = pltpu.make_async_copy(
+            vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)], band, sem)
+        copy.start()
+        copy.wait()
     roff = roff_ref[i]
 
     iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww, _Q_LANES), 0)
     iot_h = jax.lax.broadcasted_iota(jnp.int32, (wh, _Q_LANES), 0)
 
+    P = plan["P"]
     for m in range(ntx):
         acc = jnp.zeros((wh, ww, _Q_LANES), jnp.float32)
-        for p in range(plan["P"]):
+        for p in range(P):
             # anchored offsets (window base + residual folded in on the
             # XLA side — the integer base survives floor() exactly) ride
             # the lane layout raw: 3P lanes of HBM traffic instead of 5P
-            # and no XLA-side corner-split materialisation
-            ty = off_ref[0, 0, 0, m, 1, pl.ds(p, 1), :]
+            # and no XLA-side corner-split materialisation. The q-args
+            # block carries a level axis (size 1 per call) so all levels
+            # of one query grid share a single relayout pass; x points
+            # occupy sublanes [0, P), y points [P, 2P).
             tx = off_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
-            wp = w_ref[0, 0, 0, m, pl.ds(p, 1), :]
+            ty = off_ref[0, 0, 0, m, 0, pl.ds(P + p, 1), :]
+            wp = w_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
             y0f = jnp.floor(ty)
             x0f = jnp.floor(tx)
             fy = ty - y0f
@@ -147,65 +185,86 @@ def _kernel(base8_ref, roff_ref, off_ref, w_ref, vp_ref, out_ref, band,
             preferred_element_type=jnp.float32)
 
 
-def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
-    """value: (B, Hv, Wv, h, d); off: (B, Nq, h, P, 2); w: (B, Nq, h, P)."""
-    B, Hv, Wv, h, d = value.shape
-    Hq, Wq = query_hw
-    P = w.shape[-1]
-    plan = dict(plan, P=P)
-    TH, TW = plan["TH"], plan["TW"]
-    nty, ntx = plan["nty"], plan["ntx"]
-    wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
-    pad = radius + 3
-
-    # ---- XLA-side prep: pad, fold corner weights, q-on-lanes layout ----
-    off = off.reshape(B, Hq, Wq, h, P, 2)
-    w = w.reshape(B, Hq, Wq, h, P)
-    py, px = nty * TH - Hq, ntx * TW - Wq
-    if py or px:
-        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0),
-                            (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
-
-    # (B, h, ext_y8, ext_x8, 128): head dim leads; minor dims tile-aligned
-    vp = jnp.pad(value, ((0, 0), (pad, plan["ext_y8"] - Hv - pad),
-                         (pad, plan["ext_x8"] - Wv - pad), (0, 0),
-                         (0, _D_LANES - d)))
-    vp = vp.transpose(0, 3, 1, 2, 4)
-
-    # fold each query's window anchor (integer window-relative base rel +
-    # fractional residual res) into the offsets: one tiny broadcast add
-    # that XLA fuses into the lane-layout transpose; floor() inside the
-    # kernel recovers the integer corner index exactly
+def _anchor_for_plan(plan, bwd=False):
+    """(Hqp, Wqp, 2) per-query window anchor: integer window-relative base
+    + fractional residual, folded into the offsets so floor() recovers the
+    corner index in-kernel. bwd=True anchors x at the 8-ALIGNED tile
+    window start basex8 (the backward kernel's dynamic slice)."""
+    nty, TH = plan["nty"], plan["TH"]
+    ntx, TW = plan["ntx"], plan["TW"]
     comb_y = (plan["rel_y"].astype(np.float64)
               + plan["res_y"]).reshape(nty * TH).astype(np.float32)
-    comb_x = (plan["rel_x"].astype(np.float64)
-              + plan["res_x"]).reshape(ntx * TW).astype(np.float32)
+    comb_x = (plan["rel_x"].astype(np.float64).reshape(ntx, TW)
+              + (plan["rxoff"].reshape(ntx, 1) if bwd else 0)
+              + plan["res_x"].reshape(ntx, TW)).reshape(
+                  ntx * TW).astype(np.float32)
     anchor = np.zeros((nty * TH, ntx * TW, 2), np.float32)
     anchor[..., 1] = comb_y[:, None]
     anchor[..., 0] = comb_x[None, :]
-    off = off.astype(jnp.float32) + jnp.asarray(anchor)[None, :, :, None,
-                                                        None, :]
+    return anchor
 
-    # anchored offsets/weights to lane layout — the only big relayouts
+
+def _prep_lanes(off, w, query_hw, plans):
+    """Anchored q-args in lane layout, ONE relayout pass for all levels.
+
+    off: (B, Nq, h, L, P, 2); w: (B, Nq, h, L, P); plans: per-level.
+    Returns off_t (B, nty, h, ntx, L, 2P, 128) — x points on sublanes
+    [0, P), y on [P, 2P) — and w_t (B, nty, h, ntx, L, P, 128)."""
+    B, Nq, h, L, P, _ = off.shape
+    Hq, Wq = query_hw
+    p0 = plans[0]
+    TH, TW, nty, ntx = p0["TH"], p0["TW"], p0["nty"], p0["ntx"]
+
+    off = off.reshape(B, Hq, Wq, h, L, P, 2)
+    w = w.reshape(B, Hq, Wq, h, L, P)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0),
+                            (0, 0), (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0), (0, 0)))
+
+    anchor = np.stack([_anchor_for_plan(p) for p in plans], axis=2)
+    # (HqP, WqP, L, 2) -> broadcast over (B, ., ., h, ., P, .)
+    off = (off.astype(jnp.float32)
+           + jnp.asarray(anchor)[None, :, :, None, :, None, :])
+
     off_t = off.reshape(
-        B, nty, TH, ntx, TW, h, P, 2).transpose(
-        0, 1, 5, 3, 7, 6, 2, 4).reshape(B, nty, h, ntx, 2, P, TH * TW)
+        B, nty, TH, ntx, TW, h, L, P, 2).transpose(
+        0, 1, 5, 3, 6, 8, 7, 2, 4).reshape(
+        B, nty, h, ntx, L, 2 * P, TH * TW)
     w_t = w.astype(jnp.float32).reshape(
-        B, nty, TH, ntx, TW, h, P).transpose(
-        0, 1, 5, 3, 6, 2, 4).reshape(B, nty, h, ntx, P, TH * TW)
+        B, nty, TH, ntx, TW, h, L, P).transpose(
+        0, 1, 5, 3, 6, 7, 2, 4).reshape(B, nty, h, ntx, L, P, TH * TW)
+    return off_t, w_t
 
-    # index maps receive the scalar-prefetch refs as trailing args
+
+def _pallas_level_lanes(value, off_t, w_t, lvl, radius, plan,
+                        ext=None, interpret=False):
+    """One (query grid, level) kernel launch from pre-relayouted q-args.
+
+    value: (B, Hv, Wv, h, d); off_t/w_t: `_prep_lanes` outputs (the level
+    axis is selected by the block index map — no XLA slice).
+    Returns RAW tile-layout output (B, nty, h, ntx, 128, d) f32."""
+    B, Hv, Wv, h, d = value.shape
+    P = w_t.shape[-2]
+    plan = dict(plan, P=P)
+    nty, ntx = plan["nty"], plan["ntx"]
+    wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
+
+    ey, ex = ext if ext is not None else (plan["ext_y8"], plan["ext_x8"])
+    vp = prepare_padded_value(value, radius, ey, ex)
+    plan["ext_x8"] = int(vp.shape[3])
+
     off_spec = pl.BlockSpec(
-        (1, 1, 1, ntx, 2, P, _Q_LANES),
-        lambda b, i, j, *_: (b, i, j, 0, 0, 0, 0),
+        (1, 1, 1, ntx, 1, 2 * P, _Q_LANES),
+        lambda b, i, j, *_: (b, i, j, 0, lvl, 0, 0),
         memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec(
-        (1, 1, 1, ntx, P, _Q_LANES),
-        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+        (1, 1, 1, ntx, 1, P, _Q_LANES),
+        lambda b, i, j, *_: (b, i, j, 0, lvl, 0, 0),
         memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, plan=plan, d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -217,8 +276,11 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
                 lambda b, i, j, *_: (b, i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((wh8, plan["ext_x8"], _D_LANES), value.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM(
+                    ((2, wh8, plan["ext_x8"], _D_LANES) if plan["db"]
+                     else (wh8, plan["ext_x8"], _D_LANES)), value.dtype),
+                (pltpu.SemaphoreType.DMA((2,)) if plan["db"]
+                 else pltpu.SemaphoreType.DMA),
                 pltpu.VMEM((wh * ww, _Q_LANES), jnp.float32),
             ]),
         out_shape=jax.ShapeDtypeStruct((B, nty, h, ntx, _Q_LANES, d),
@@ -227,14 +289,95 @@ def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
     )(jnp.asarray(plan["base8"], jnp.int32),
       jnp.asarray(plan["roff"], jnp.int32), off_t, w_t, vp)
 
-    # (B, nty, h, ntx, TH*TW, d) -> (B, Nq, h, d)
+
+def _untile_out(out, plan, query_hw, d):
+    """(B, nty, h, ntx, TH*TW, d) raw tile layout -> (B, Nq, h, d)."""
+    B, nty, h = out.shape[:3]
+    TH, TW, ntx = plan["TH"], plan["TW"], plan["ntx"]
+    Hq, Wq = query_hw
     out = out.reshape(B, nty, h, ntx, TH, TW, d).transpose(
         0, 1, 4, 3, 5, 2, 6).reshape(B, nty * TH, ntx * TW, h, d)
     return out[:, :Hq, :Wq].reshape(B, Hq * Wq, h, d)
 
 
+def _pallas_level(value, off, w, query_hw, radius, plan, interpret=False):
+    """Single-level wrapper (tests / per-level API): value (B,Hv,Wv,h,d);
+    off (B,Nq,h,P,2); w (B,Nq,h,P)."""
+    d = value.shape[-1]
+    plan = dict(plan, P=w.shape[-1])
+    off_t, w_t = _prep_lanes(off[:, :, :, None], w[:, :, :, None],
+                             query_hw, [plan])
+    out = _pallas_level_lanes(value, off_t, w_t, 0, radius, plan,
+                              interpret=interpret)
+    return _untile_out(out, plan, query_hw, d)
+
+
 def pallas_windowed_supported(query_hw, value_hw, radius) -> bool:
     return _plan(query_hw, value_hw, radius) is not None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def msda_windowed_levels(values, off, w, query_hw, radius, exts=None,
+                         interpret=False):
+    """Multi-level windowed sampling for ONE query grid — the product
+    path. All levels share a single anchored lane-layout relayout of the
+    q-args, per-level kernels read their level slab via the block index
+    map, and the per-level outputs accumulate in raw tile layout with one
+    final relayout (vs per-level prep + out relayout in the naive path).
+
+    values: tuple of (B, Hv, Wv, h, d) — every level kernel-eligible for
+    this grid; off: (B, Nq, h, L, P, 2) RAW level-pixel offsets;
+    w: (B, Nq, h, L, P). exts: optional per-level (ext_y8, ext_x8).
+    Returns (B, Nq, h, d) summed over levels.
+
+    Backward: d_off/d_w via the band-tiled Pallas backward kernel
+    (`_kernel_bwd`), dV via the XLA tiled VJP restricted to value."""
+    return _levels_fwd_impl(values, off, w, query_hw, radius, exts,
+                            interpret)
+
+
+def _levels_fwd_impl(values, off, w, query_hw, radius, exts,
+                     interpret=False):
+    B, Nq, h, L, P, _ = off.shape
+    d = values[0].shape[-1]
+    plans = [dict(_plan(query_hw, v.shape[1:3], radius), P=P)
+             for v in values]
+    off_t, w_t = _prep_lanes(off, w, query_hw, plans)
+    out = None
+    for idx, (v, plan) in enumerate(zip(values, plans)):
+        ext = exts[idx] if exts is not None else None
+        term = _pallas_level_lanes(v, off_t, w_t, idx, radius, plan, ext,
+                                   interpret=interpret)
+        out = term if out is None else out + term
+    return _untile_out(out, plans[0], query_hw, d)
+
+
+def _levels_fwd(values, off, w, query_hw, radius, exts, interpret=False):
+    return (_levels_fwd_impl(values, off, w, query_hw, radius, exts,
+                             interpret),
+            (values, off, w))
+
+
+def _levels_bwd(query_hw, radius, exts, interpret, res, g):
+    values, off, w = res
+    dvs, dos, dws = [], [], []
+    for idx, v in enumerate(values):
+        ext = exts[idx] if exts is not None else None
+        o_l, w_l = off[:, :, :, idx], w[:, :, :, idx]
+        do, dw = msda_windowed_level_bwd_offw(v, o_l, w_l, g, query_hw,
+                                              radius, ext,
+                                              interpret=interpret)
+        _, vjp_v = jax.vjp(
+            lambda vv, _o=o_l, _w=w_l: _msda._windowed_level_tiled(
+                vv, _o, _w, query_hw, radius), v)
+        dv, = vjp_v(g)
+        dvs.append(dv)
+        dos.append(do)
+        dws.append(dw)
+    return (tuple(dvs), jnp.stack(dos, axis=3), jnp.stack(dws, axis=3))
+
+
+msda_windowed_levels.defvjp(_levels_fwd, _levels_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -506,104 +649,73 @@ def msda_windowed_fused(vps, offs, ws, query_hw, radius, plans, d,
 # windows; see _group_bwd).
 
 
-def _kernel_bwd(base8_ref, roff_ref, wy0_ref, fy_ref, wx0_ref, fx_ref,
-                w_ref, g_ref, vp_ref, dw_ref, dox_ref, doy_ref, band, sem,
-                *, plan, d):
-    ntx = plan["ntx"]
-    wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
-    base_x = plan["base_x"]
+def _kernel_bwd(base8_ref, roff_ref, basex8_ref, off_ref, w_ref, g_ref,
+                vp_ref, dw_ref, dox_ref, doy_ref, band, sem, *, plan, d):
+    """d_off / d_w for one (batch, row band, head, column tile) grid step.
+
+    The column tile is a GRID dimension (not an unrolled python loop):
+    Mosaic compiles ONE body per P instead of ntx*P — the unrolled
+    variant's compile time (~2 min/shape) made the kernel unusable. The
+    price is an 8-aligned dynamic x-window slice (basex8; the residual is
+    folded into the offset anchor, widening the window by up to 8)."""
+    wh, ww8, wh8 = plan["wh"], plan["ww8"], plan["wh8"]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    m = pl.program_id(3)
 
-    copy = pltpu.make_async_copy(
-        vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)], band, sem)
-    copy.start()
-    copy.wait()
+    @pl.when(m == 0)
+    def _():
+        pltpu.make_async_copy(
+            vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)], band, sem).start()
+        pltpu.make_async_copy(
+            vp_ref.at[b, j, pl.ds(base8_ref[i], wh8)], band, sem).wait()
     roff = roff_ref[i]
 
-    iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww, _Q_LANES), 0)
+    iot_w = jax.lax.broadcasted_iota(jnp.int32, (ww8, _Q_LANES), 0)
     iot_h = jax.lax.broadcasted_iota(jnp.int32, (wh, _Q_LANES), 0)
 
-    for m in range(ntx):
-        g = g_ref[0, 0, 0, m]                       # (128, d)
-        win = band[pl.ds(roff, wh), pl.ds(int(base_x[m]), ww), :d]
-        win = win.reshape(wh * ww, d)
-        # M[win, q] = sum_d V[win, d] g[q, d]
-        M = jax.lax.dot_general(
-            win.astype(jnp.float32), g,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)     # (wh*ww, 128)
-        M3 = M.reshape(wh, ww, _Q_LANES)
+    g = g_ref[0, 0, 0, 0]                           # (128, d)
+    win = band[pl.ds(roff, wh), pl.ds(basex8_ref[m], ww8), :d]
+    win = win.astype(jnp.float32).reshape(wh * ww8, d)
+    # M[win, q] = sum_d V[win, d] g[q, d]
+    M = jax.lax.dot_general(
+        win, g.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # (wh*ww8, 128)
+    M3 = M.reshape(wh, ww8, _Q_LANES)
 
-        for p in range(plan["P"]):
-            wy0 = wy0_ref[0, 0, 0, m, pl.ds(p, 1), :]   # (1, 128)
-            fy = fy_ref[0, 0, 0, m, pl.ds(p, 1), :]
-            wx0 = wx0_ref[0, 0, 0, m, pl.ds(p, 1), :]
-            fx = fx_ref[0, 0, 0, m, pl.ds(p, 1), :]
-            w = w_ref[0, 0, 0, m, pl.ds(p, 1), :]
+    for p in range(plan["P"]):
+        ty = off_ref[0, 0, 0, 0, 1, pl.ds(p, 1), :]
+        tx = off_ref[0, 0, 0, 0, 0, pl.ds(p, 1), :]
+        w = w_ref[0, 0, 0, 0, pl.ds(p, 1), :]
+        y0f = jnp.floor(ty)
+        x0f = jnp.floor(tx)
+        fy = ty - y0f
+        fx = tx - x0f
+        wy0 = y0f.astype(jnp.int32)
+        wx0 = x0f.astype(jnp.int32)
 
-            hy0 = (iot_h == wy0).astype(jnp.float32)
-            hy1 = (iot_h == (wy0 + 1)).astype(jnp.float32)
-            hx0 = (iot_w == wx0).astype(jnp.float32)
-            hx1 = (iot_w == (wx0 + 1)).astype(jnp.float32)
-            Wy = hy0 * (1.0 - fy) + hy1 * fy            # (wh, 128)
-            Wx = hx0 * (1.0 - fx) + hx1 * fx            # (ww, 128)
-            dWy = hy1 - hy0
-            dWx = hx1 - hx0
+        hy0 = (iot_h == wy0).astype(jnp.float32)
+        hy1 = (iot_h == (wy0 + 1)).astype(jnp.float32)
+        hx0 = (iot_w == wx0).astype(jnp.float32)
+        hx1 = (iot_w == (wx0 + 1)).astype(jnp.float32)
+        Wy = hy0 * (1.0 - fy) + hy1 * fy            # (wh, 128)
+        Wx = hx0 * (1.0 - fx) + hx1 * fx            # (ww8, 128)
+        dWy = hy1 - hy0
+        dWx = hx1 - hx0
 
-            # per-row / per-col partial contractions of M
-            MWy = jnp.sum(M3 * Wx[None, :, :], axis=1)  # (wh, 128)
-            MWx = jnp.sum(M3 * Wy[:, None, :], axis=0)  # (ww, 128)
+        # per-row / per-col partial contractions of M
+        MWy = jnp.sum(M3 * Wx[None, :, :], axis=1)  # (wh, 128)
+        MWx = jnp.sum(M3 * Wy[:, None, :], axis=0)  # (ww8, 128)
 
-            dw_ref[0, 0, 0, m, pl.ds(p, 1), :] = jnp.sum(
-                Wy * MWy, axis=0, keepdims=True)
-            doy_ref[0, 0, 0, m, pl.ds(p, 1), :] = w * jnp.sum(
-                dWy * MWy, axis=0, keepdims=True)
-            dox_ref[0, 0, 0, m, pl.ds(p, 1), :] = w * jnp.sum(
-                dWx * MWx, axis=0, keepdims=True)
-
-
-def _qargs_raw_for_level(off, w, query_hw, plan):
-    """Like `_qargs_for_level` but UNfolded: (wy0, fy, wx0, fx, w) — the
-    backward needs the attention weight separate from the x-corner
-    fractions."""
-    B = off.shape[0]
-    Hq, Wq = query_hw
-    P = w.shape[-1]
-    TH, TW = plan["TH"], plan["TW"]
-    nty, ntx = plan["nty"], plan["ntx"]
-
-    off = off.reshape(B, Hq, Wq, -1, P, 2)
-    h = off.shape[3]
-    w = w.reshape(B, Hq, Wq, h, P)
-    py, px = nty * TH - Hq, ntx * TW - Wq
-    if py or px:
-        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0),
-                            (0, 0)))
-        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
-
-    res_y = jnp.asarray(plan["res_y"].reshape(nty * TH))
-    rel_y = jnp.asarray(plan["rel_y"].reshape(nty * TH))
-    res_x = jnp.asarray(plan["res_x"].reshape(ntx * TW))
-    rel_x = jnp.asarray(plan["rel_x"].reshape(ntx * TW))
-
-    ty = res_y[None, :, None, None, None] + off[..., 1]
-    tx = res_x[None, None, :, None, None] + off[..., 0]
-    y0 = jnp.floor(ty)
-    x0 = jnp.floor(tx)
-    fy = (ty - y0).astype(jnp.float32)
-    fx = (tx - x0).astype(jnp.float32)
-    wy0 = rel_y[None, :, None, None, None] + y0.astype(jnp.int32)
-    wx0 = rel_x[None, None, :, None, None] + x0.astype(jnp.int32)
-
-    def to_lanes(x):
-        x = x.reshape(B, nty, TH, ntx, TW, h, P)
-        return x.transpose(0, 1, 5, 3, 6, 2, 4).reshape(
-            B, nty, h, ntx, P, TH * TW)
-
-    return [to_lanes(a) for a in (wy0, fy, wx0, fx, w)]
+        dw_ref[0, 0, 0, 0, pl.ds(p, 1), :] = jnp.sum(
+            Wy * MWy, axis=0, keepdims=True)
+        doy_ref[0, 0, 0, 0, pl.ds(p, 1), :] = w * jnp.sum(
+            dWy * MWy, axis=0, keepdims=True)
+        dox_ref[0, 0, 0, 0, pl.ds(p, 1), :] = w * jnp.sum(
+            dWx * MWx, axis=0, keepdims=True)
 
 
 def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
@@ -627,35 +739,65 @@ def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
     vp = prepare_padded_value(value, radius, ey, ex)
     plan["ext_x8"] = int(vp.shape[3])
 
-    args = _qargs_raw_for_level(off, w, query_hw, plan)
+    # anchored offsets (cf. `_pallas_level`): y anchor = rel_y + res_y;
+    # x anchor is relative to the 8-ALIGNED tile window start basex8, so
+    # the per-tile residual rxoff rides the anchor and the kernel's
+    # dynamic x slice stays aligned
+    off = off.reshape(B, Hq, Wq, h, P, 2)
+    w = w.reshape(B, Hq, Wq, h, P)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        off = jnp.pad(off, ((0, 0), (0, py), (0, px), (0, 0), (0, 0),
+                            (0, 0)))
+        w = jnp.pad(w, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+    comb_y = (plan["rel_y"].astype(np.float64)
+              + plan["res_y"]).reshape(nty * TH).astype(np.float32)
+    comb_x = (plan["rel_x"].astype(np.float64).reshape(ntx, TW)
+              + plan["rxoff"].reshape(ntx, 1)
+              + plan["res_x"].reshape(ntx, TW)).reshape(
+                  ntx * TW).astype(np.float32)
+    anchor = np.zeros((nty * TH, ntx * TW, 2), np.float32)
+    anchor[..., 1] = comb_y[:, None]
+    anchor[..., 0] = comb_x[None, :]
+    off = off.astype(jnp.float32) + jnp.asarray(anchor)[None, :, :, None,
+                                                        None, :]
+    off_t = off.reshape(
+        B, nty, TH, ntx, TW, h, P, 2).transpose(
+        0, 1, 5, 3, 7, 6, 2, 4).reshape(B, nty, h, ntx, 2, P, TH * TW)
+    w_t = w.astype(jnp.float32).reshape(
+        B, nty, TH, ntx, TW, h, P).transpose(
+        0, 1, 5, 3, 6, 2, 4).reshape(B, nty, h, ntx, P, TH * TW)
 
     # upstream cotangent in the forward-output tile layout
     gq = g.reshape(B, Hq, Wq, h, d)
-    py, px = nty * TH - Hq, ntx * TW - Wq
     if py or px:
         gq = jnp.pad(gq, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
     gq = gq.reshape(B, nty, TH, ntx, TW, h, d).transpose(
         0, 1, 5, 3, 2, 4, 6).reshape(B, nty, h, ntx, TH * TW, d)
 
-    qspec = pl.BlockSpec(
-        (1, 1, 1, ntx, P, _Q_LANES),
-        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+    off_spec = pl.BlockSpec(
+        (1, 1, 1, 1, 2, P, _Q_LANES),
+        lambda b, i, j, m, *_: (b, i, j, m, 0, 0, 0),
+        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
+        (1, 1, 1, 1, P, _Q_LANES),
+        lambda b, i, j, m, *_: (b, i, j, m, 0, 0),
         memory_space=pltpu.VMEM)
     gspec = pl.BlockSpec(
-        (1, 1, 1, ntx, _Q_LANES, d),
-        lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+        (1, 1, 1, 1, _Q_LANES, d),
+        lambda b, i, j, m, *_: (b, i, j, m, 0, 0),
         memory_space=pltpu.VMEM)
     oshape = jax.ShapeDtypeStruct((B, nty, h, ntx, P, _Q_LANES),
                                   jnp.float32)
 
     dw_t, dox_t, doy_t = pl.pallas_call(
-        functools.partial(_kernel_bwd, plan=plan, d=d),
+        functools.partial(_kernel_bwd, plan=dict(plan, P=P), d=d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(B, nty, h),
-            in_specs=[qspec] * 5 + [gspec,
-                                    pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=(qspec, qspec, qspec),
+            num_scalar_prefetch=3,
+            grid=(B, nty, h, ntx),
+            in_specs=[off_spec, w_spec, gspec,
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=(w_spec, w_spec, w_spec),
             scratch_shapes=[
                 pltpu.VMEM((plan["wh8"], plan["ext_x8"], _D_LANES),
                            vp.dtype),
@@ -664,7 +806,8 @@ def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
         out_shape=(oshape, oshape, oshape),
         interpret=interpret,
     )(jnp.asarray(plan["base8"], jnp.int32),
-      jnp.asarray(plan["roff"], jnp.int32), *args, gq, vp)
+      jnp.asarray(plan["roff"], jnp.int32),
+      jnp.asarray(plan["basex8"], jnp.int32), off_t, w_t, gq, vp)
 
     def untile(x):
         # (B, nty, h, ntx, P, TH*TW) -> (B, Nq, h, P)

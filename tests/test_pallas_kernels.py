@@ -217,3 +217,44 @@ def test_msda_windowed_level_pallas_backward_parity():
     for a, b in zip(gp, gt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_msda_windowed_levels_shared_prep_parity_and_grads():
+    """Product path `msda_windowed_levels` (shared q-arg relayout, raw
+    tile-layout accumulation, custom VJP): forward + all grads match the
+    taps-reference autodiff."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gedepth_tpu.ops.msda import msda_sample_windowed
+    from gedepth_tpu.ops.pallas.msda_windowed import msda_windowed_levels
+
+    rng = np.random.default_rng(11)
+    B, h, d, P, R = 1, 2, 8, 4, 4
+    Hq, Wq = 16, 40
+    shapes = [(16, 40), (8, 20)]
+    vals = tuple(jnp.asarray(rng.standard_normal((B, H, W, h, d))
+                             .astype(np.float32)) for H, W in shapes)
+    L = len(shapes)
+    off = jnp.asarray(rng.uniform(-R, R, (B, Hq * Wq, h, L, P, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, Hq * Wq, h, L, P))
+                    .astype(np.float32))
+
+    def loss_levels(vs, o_, w_):
+        out = msda_windowed_levels(vs, o_, w_, (Hq, Wq), R)
+        return jnp.sum(out * out)
+
+    def loss_taps(vs, o_, w_):
+        out = msda_sample_windowed(list(vs), o_, w_, (Hq, Wq), radius=R,
+                                   impl="taps")
+        return jnp.sum(out.reshape(B, Hq * Wq, h, d) ** 2)
+
+    fl = loss_levels(vals, off, w)
+    ft = loss_taps(vals, off, w)
+    np.testing.assert_allclose(float(fl), float(ft), rtol=1e-4)
+
+    gl = jax.grad(loss_levels, argnums=(0, 1, 2))(vals, off, w)
+    gt = jax.grad(loss_taps, argnums=(0, 1, 2))(vals, off, w)
+    for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
