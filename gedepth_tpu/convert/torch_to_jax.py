@@ -205,6 +205,67 @@ def _map_hrnet_key(k: str):
     return None
 
 
+_DDR_SEQ = ("compression3_1", "compression3_2", "compression4",
+            "down3_1", "down3_2", "out_conv")
+
+
+def _map_ddrnet_key(k: str):
+    """Reference DDRNet state-dict keys (depth/models/backbones/
+    ddrnet.py:190-262 module layout) -> flax models/ddrnet.py tree."""
+    k2 = k[len("backbone."):]
+    # stem conv1 Sequential: biased convs at 0/3, bns at 1/4
+    m = re.match(r"conv1\.([0134])\.(\w+)$", k2)
+    if m:
+        idx, leaf = m.group(1), m.group(2)
+        base = ("backbone", "stem1" if idx in "01" else "stem2")
+        if idx in "03":
+            if leaf == "weight":
+                return [("params", base + ("conv", "kernel"), _conv_w)]
+            if leaf == "bias":
+                return [("params", base + ("conv", "bias"), None)]
+            return None
+        return _hrnet_cbn(base, "bn", leaf)
+    # residual layers (longest names first: layer3_1_ before layer3_1)
+    m = re.match(r"(layer\d(?:_\d)?_?)\.(\d+)\.(.*)$", k2)
+    if m:
+        base = ("backbone", f"{m.group(1)}_block{m.group(2)}")
+        rest = m.group(3)
+        mm = re.match(r"conv(\d)\.weight$", rest)
+        if mm:
+            return _hrnet_cbn(base + (f"convbn{mm.group(1)}",), "conv",
+                              "weight")
+        mm = re.match(r"bn(\d)\.(\w+)$", rest)
+        if mm:
+            return _hrnet_cbn(base + (f"convbn{mm.group(1)}",), "bn",
+                              mm.group(2))
+        mm = re.match(r"downsample\.([01])\.(\w+)$", rest)
+        if mm:
+            return _hrnet_cbn(base + ("downsample",),
+                              "conv" if mm.group(1) == "0" else "bn",
+                              mm.group(2))
+        return None
+    # fusion adapters / out_conv: Sequential(conv at 0, bn at 1)
+    m = re.match(r"({})\.([01])\.(\w+)$".format("|".join(_DDR_SEQ)), k2)
+    if m:
+        return _hrnet_cbn(("backbone", m.group(1)),
+                          "conv" if m.group(2) == "0" else "bn", m.group(3))
+    m = re.match(r"down4\.([0134])\.(\w+)$", k2)
+    if m:
+        idx = m.group(1)
+        return _hrnet_cbn(("backbone", "down4_a" if idx in "01"
+                           else "down4_b"),
+                          "conv" if idx in "03" else "bn", m.group(2))
+    # DAPPM pre-activation Sequentials: bn at 0 (scale0/process/
+    # compression/shortcut) or 1 (pooled scale1..4), conv at 2 or 3
+    m = re.match(r"spp\.(scale\d|process\d|compression|shortcut)\."
+                 r"(\d)\.(\w+)$", k2)
+    if m:
+        return _hrnet_cbn(("backbone", "spp", m.group(1)),
+                          "conv" if m.group(2) in "23" else "bn",
+                          m.group(3))
+    return None
+
+
 def _timm_effnet_bn(base, leaf):
     if leaf == "num_batches_tracked":
         return []
@@ -256,9 +317,11 @@ def _map_timm_effnet_key(k: str):
     return None
 
 
-def _map_torch_key(k: str, hrnet: bool = False):
+def _map_torch_key(k: str, hrnet: bool = False, ddrnet: bool = False):
     """Return list of (collection, path, transform) for a torch key, or []
     to drop. collection is 'params' or 'batch_stats'."""
+    if ddrnet and k.startswith("backbone."):
+        return _map_ddrnet_key(k)
     if hrnet and k.startswith("backbone."):
         return _map_hrnet_key(k)
     if k.startswith("backbone.original_model."):
@@ -769,8 +832,11 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     # hybrid conv-stem; disambiguate on HRNet-only structural keys.
     hrnet = any(".fuse_layers." in k or k.startswith("backbone.transition")
                 for k in sd)
+    # DDRNet-only structural keys (DAPPM scales / bilateral compressions)
+    ddrnet = any(k.startswith("backbone.spp.scale")
+                 or k.startswith("backbone.compression3_1.") for k in sd)
     for k, v in sd.items():
-        mapped = _map_torch_key(k, hrnet=hrnet)
+        mapped = _map_torch_key(k, hrnet=hrnet, ddrnet=ddrnet)
         if mapped is None:
             unmapped.append(k)
             if strict:

@@ -137,12 +137,13 @@ def test_efficientnet_b0_endpoints():
 
 def test_ddrnet_dual_resolution():
     from gedepth_tpu.models.ddrnet import DualResNet
-    m = DualResNet()
+    m = DualResNet(planes=8, spp_planes=16, out_planes=32)
     x = jnp.zeros((1, 128, 192, 3), jnp.float32)
     v = m.init(jax.random.PRNGKey(0), x)
-    outs = m.apply(v, x)
-    assert outs[2].shape[1:3] == (16, 24)   # high-res output at /8
-    assert np.isfinite(np.asarray(outs[2])).all()
+    out = m.apply(v, x)
+    # single /8 feature map (reference ddrnet.py:350-352 contract)
+    assert out.shape == (1, 16, 24, 32)
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_binsformer_head_layers():
