@@ -277,8 +277,10 @@ def _pallas_level_lanes(value, off_t, w_t, lvl, radius, plan,
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM(
-                    ((2, wh8, plan["ext_x8"], _D_LANES) if plan["db"]
-                     else (wh8, plan["ext_x8"], _D_LANES)), value.dtype),
+                    ((2, wh8, plan["ext_x8"], int(vp.shape[-1]))
+                     if plan["db"]
+                     else (wh8, plan["ext_x8"], int(vp.shape[-1]))),
+                    value.dtype),
                 (pltpu.SemaphoreType.DMA((2,)) if plan["db"]
                  else pltpu.SemaphoreType.DMA),
                 pltpu.VMEM((wh * ww, _Q_LANES), jnp.float32),
@@ -496,9 +498,27 @@ def _kernel_multi(base8_ref, roff_ref, qstack_ref, *refs, plans, d):
             out_ref[0, 0, 0, m] = acc_out
 
 
+def _vp_lanes(d):
+    """Lane width of the padded value's minor dim. Default pads d to one
+    full 128-lane tile; GEDEPTH_MSDA_VP_LANES=<n> (multiple of 8, >= d)
+    shrinks it so the per-band DMA moves only ~d lanes of HBM instead of
+    128 (4x less traffic at d=32), at the cost of lane-padded VMEM tiles
+    (same VMEM footprint as the 128 pad)."""
+    import os
+    raw = os.environ.get("GEDEPTH_MSDA_VP_LANES", "")
+    if raw:
+        try:
+            n = int(raw)
+            if n >= d and n % 8 == 0:
+                return n
+        except ValueError:
+            pass
+    return _D_LANES
+
+
 def prepare_padded_value(value, radius, ext_y8, ext_x8):
     """Pad + head-major transpose of one value level for the kernel DMA
-    layout: (B, Hv, Wv, h, d) -> (B, h, ext_y8, ext_x8, 128).
+    layout: (B, Hv, Wv, h, d) -> (B, h, ext_y8, ext_x8, _vp_lanes(d)).
 
     Shared across every query grid sampling this level (the left pad is
     always radius + 3; grids only differ in the required extents, so
@@ -507,7 +527,7 @@ def prepare_padded_value(value, radius, ext_y8, ext_x8):
     pad = radius + 3
     vp = jnp.pad(value, ((0, 0), (pad, ext_y8 - Hv - pad),
                          (pad, ext_x8 - Wv - pad), (0, 0),
-                         (0, _D_LANES - d)))
+                         (0, _vp_lanes(d) - d)))
     return vp.transpose(0, 3, 1, 2, 4)
 
 
@@ -612,8 +632,8 @@ def msda_windowed_fused(vps, offs, ws, query_hw, radius, plans, d,
                 lambda b, i, j, *_: (b, i, j, 0, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((p["wh8"], int(vp.shape[3]), _D_LANES),
-                           vp.dtype)
+                pltpu.VMEM((p["wh8"], int(vp.shape[3]),
+                            int(vp.shape[4])), vp.dtype)
                 for p, vp in zip(plans_k, vps)
             ] + [
                 pltpu.SemaphoreType.DMA((L,)),
@@ -799,8 +819,8 @@ def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
                       pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=(w_spec, w_spec, w_spec),
             scratch_shapes=[
-                pltpu.VMEM((plan["wh8"], plan["ext_x8"], _D_LANES),
-                           vp.dtype),
+                pltpu.VMEM((plan["wh8"], plan["ext_x8"],
+                            int(vp.shape[-1])), vp.dtype),
                 pltpu.SemaphoreType.DMA,
             ]),
         out_shape=(oshape, oshape, oshape),
