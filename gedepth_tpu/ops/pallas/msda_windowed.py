@@ -45,11 +45,29 @@ def _round8(x):
     return int(-(-x // 8) * 8)
 
 
+def _qtile():
+    """Query-tile aspect (TH, TW), TH*TW == 128. The A-build window area
+    is (TH*ratio + 2R+3)(TW*ratio + 2R+3) — squarer tiles shrink it (e.g.
+    8x16 is ~20% less VPU work than 4x32 at ratio 1, R=8). Override with
+    GEDEPTH_MSDA_QTILE=\"th,tw\" for hardware A/B sweeps."""
+    import os
+    raw = os.environ.get("GEDEPTH_MSDA_QTILE", "")
+    if raw:
+        try:
+            th, tw = (int(v) for v in raw.split(","))
+            if th * tw == _Q_LANES and th > 0:
+                return th, tw
+        except ValueError:
+            pass
+    return 4, 32
+
+
 def _plan(query_hw, value_hw, radius):
     """Tile plan with TH*TW == 128 (q-on-lanes layout)."""
     Hq, Wq = query_hw
     Hv, Wv = value_hw
-    TW = min(32, Wq)
+    TH0, TW0 = _qtile()
+    TW = min(TW0, Wq)
     TH = max(1, _Q_LANES // TW)
     if TH > Hq:
         TH = 1 << int(np.floor(np.log2(max(Hq, 1))))
