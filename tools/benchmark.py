@@ -26,6 +26,15 @@ def main():
     parser.add_argument("--trace-dir", default=None)
     parser.add_argument("--train-step", action="store_true",
                         help="benchmark the training step instead")
+    parser.add_argument("--sync", choices=("scalar", "full"),
+                        default="scalar",
+                        help="device sync: fetch an in-jit scalar checksum "
+                        "(reference protocol never copies outputs; 4 bytes "
+                        "over the tunnel) or the full prediction")
+    parser.add_argument("--bf16", action="store_true",
+                        help="cast params/activations to bfloat16 at the "
+                        "jit boundary (inference only; depth clamps and "
+                        "final resize stay f32)")
     args = parser.parse_args()
 
     import numpy as np
@@ -68,7 +77,17 @@ def main():
     else:
         @jax.jit
         def forward(v, x, c_):
-            return model.apply(v, x, c_, method=model.predict_depth)
+            if args.bf16:
+                v = jax.tree.map(
+                    lambda t: t.astype(jnp.bfloat16)
+                    if t.dtype == jnp.float32 else t, v)
+                x = x.astype(jnp.bfloat16)
+            depth = model.apply(v, x, c_, method=model.predict_depth)
+            # scalar sync: the checksum depends on the whole computation,
+            # so fetching it is a true device sync without the multi-MB
+            # per-iteration output copy over the remote-TPU tunnel
+            return depth if args.sync == "full" else jnp.sum(
+                depth.astype(jnp.float32))
 
         def run():
             return forward(variables, img, ch)
