@@ -40,4 +40,21 @@ def _enable_compilation_cache():
         pass
 
 
+def _honor_platform_env():
+    """Make JAX_PLATFORMS=cpu actually work under the axon remote-TPU
+    plugin: the plugin registers itself regardless of the env var, so the
+    only reliable override is the in-process config update — applied here
+    (before any backend initialises) so every CLI tool and test honors the
+    env var without its own boilerplate."""
+    plat = _os.environ.get("JAX_PLATFORMS", "")
+    if plat and "axon" not in plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover - best-effort
+            pass
+
+
 _enable_compilation_cache()
+_honor_platform_env()
