@@ -135,6 +135,10 @@ class TrainConfig:
     seed: int = 0
     save_best: str = "abs_rel"            # rule: less
     bf16_compute: bool = True             # cast activations to bf16 on TPU
+    num_workers: int = 0                  # >1: multi-process batch prep
+                                          # (reference builder.py
+                                          # workers_per_gpu); 0 = one
+                                          # background prefetch thread
 
 
 @dataclass(frozen=True)

@@ -43,7 +43,7 @@ class TrainLoader:
     """
 
     def __init__(self, dataset, pipeline, global_batch, seed=0,
-                 shard_index=0, shard_count=1, prefetch=2):
+                 shard_index=0, shard_count=1, prefetch=2, num_workers=0):
         assert global_batch % shard_count == 0
         self.dataset = dataset
         self.pipeline = pipeline
@@ -53,6 +53,7 @@ class TrainLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def _make_batch(self, step):
         rng_idx = np.random.default_rng(
@@ -70,6 +71,9 @@ class TrainLoader:
         return _stack_batch(samples, keys)
 
     def __iter__(self):
+        if self.num_workers > 1:
+            yield from self._iter_multiprocess()
+            return
         q = queue_mod.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -89,6 +93,28 @@ class TrainLoader:
                 yield q.get()
         finally:
             stop.set()
+
+    def _iter_multiprocess(self):
+        """Multi-process batch preparation (the analogue of the reference's
+        DataLoader workers_per_gpu, builder.py): a sliding window of
+        `max(prefetch, num_workers)` in-flight `_make_batch(step)` futures.
+        Every batch is a pure function of (seed, step, slot), so the stream
+        is IDENTICAL for any worker count — workers change throughput only.
+        Requires dataset + pipeline to be picklable (all in-tree datasets
+        and transform Composes are)."""
+        import concurrent.futures as cf
+
+        window = max(self.prefetch, self.num_workers)
+        with cf.ProcessPoolExecutor(max_workers=self.num_workers) as pool:
+            futures = {s: pool.submit(self._make_batch, s)
+                       for s in range(window)}
+            step = 0
+            while True:
+                batch = futures.pop(step).result()
+                futures[step + window] = pool.submit(
+                    self._make_batch, step + window)
+                yield batch
+                step += 1
 
 
 class EvalLoader:

@@ -156,7 +156,8 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
     train_ds, test_ds = build_datasets(cfg)
     pipeline = build_train_pipeline(cfg)
     loader = TrainLoader(train_ds, pipeline, cfg.train.global_batch,
-                         seed=cfg.train.seed)
+                         seed=cfg.train.seed,
+                         num_workers=cfg.train.num_workers)
 
     mesh = create_mesh_for_batch(cfg.train.global_batch)
     tx, schedule = make_optimizer(

@@ -165,6 +165,22 @@ def test_train_loader_shapes_and_sharding():
         np.concatenate([sh0["img"], sh1["img"]]), b_full["img"])
 
 
+def test_train_loader_multiprocess_stream_identical():
+    """num_workers changes throughput only: every batch is a pure function
+    of (seed, step, slot), so the multi-process stream must equal the
+    single-thread one (reference analogue: builder.py workers_per_gpu)."""
+    import itertools
+
+    ds = SyntheticGroundDataset(size=8, height=64, width=96)
+    pipe = Compose([RandomCrop((48, 64)), Normalize(depth_scale=200.0)])
+    base = TrainLoader(ds, pipe, global_batch=2, seed=7)
+    mp = TrainLoader(ds, pipe, global_batch=2, seed=7, num_workers=2)
+    for a, b in zip(itertools.islice(iter(base), 3),
+                    itertools.islice(iter(mp), 3)):
+        np.testing.assert_array_equal(a["img"], b["img"])
+        np.testing.assert_array_equal(a["depth_gt"], b["depth_gt"])
+
+
 def test_eval_loader_padding():
     ds = SyntheticGroundDataset(size=5, height=64, width=96)
     pipe = Compose([Normalize(depth_scale=200.0)])
