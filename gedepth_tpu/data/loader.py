@@ -125,15 +125,40 @@ class EvalLoader:
     metric aggregation by the caller via batch['index']).
     """
 
-    def __init__(self, dataset, pipeline, batch_size):
+    def __init__(self, dataset, pipeline, batch_size, prefetch=2):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
+        self.prefetch = prefetch
 
     def __len__(self):
         return -(-len(self.dataset) // self.batch_size)
 
     def __iter__(self):
+        """Batches are prepared on a background thread (queue depth
+        `prefetch`) so host-side GT decode/transform overlaps the device
+        eval step — the reference gets the same overlap from DataLoader
+        workers (builder.py). Order is preserved; prefetch=0 disables."""
+        if self.prefetch <= 0:
+            yield from self._make_batches()
+            return
+        q = queue_mod.Queue(maxsize=self.prefetch)
+        done = object()
+
+        def worker():
+            for item in self._make_batches():
+                q.put(item)
+            q.put(done)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            yield item
+
+    def _make_batches(self):
         n = len(self.dataset)
         rng = np.random.default_rng(0)  # eval transforms must be deterministic
         for start in range(0, n, self.batch_size):

@@ -93,6 +93,36 @@ def test_train_step_decreases_loss_sharded():
     assert last < first * 0.8, (first, last)
 
 
+def test_train_run_bitwise_reproducible():
+    """Two independent runs from the same seed produce bitwise-identical
+    params after 5 steps — guards against nondeterministic ops (unordered
+    scatter reductions, uncontrolled rng) entering the train path. The
+    reference only offers best-effort determinism (set_random_seed
+    deterministic=False by default, train_api comment); explicit PRNG keys
+    make the stronger guarantee cheap here."""
+    def run():
+        model = _model()
+        mesh = create_mesh()
+        batch = shard_batch(_batch(8), mesh)
+        tx, _ = make_optimizer(max_lr=3e-4, max_iters=10, warmup_iters=0)
+        state = create_train_state(model, tx, batch["img"],
+                                   jax.random.PRNGKey(0),
+                                   batch["cam_height"])
+        step = make_train_step(model, donate=False)
+        rng = jax.random.PRNGKey(1)
+        for _ in range(5):
+            rng, sub = jax.random.split(rng)
+            state, _ = step(state, batch, sub)
+        return jax.device_get(state.params)
+
+    a, b = run(), run()
+    flat_a = jax.tree_util.tree_leaves(a)
+    flat_b = jax.tree_util.tree_leaves(b)
+    assert len(flat_a) == len(flat_b)
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_eval_step_flip_tta_consistency():
     model = _model()
     batch = _batch(2)
