@@ -21,9 +21,11 @@ ext_x to a sublane multiple), and band starts are 8-aligned with the
 residual row offset applied when slicing the VMEM band (arbitrary dynamic
 starts on the tiled second-minor dim are rejected).
 
-Backward: `msda_windowed_level` is a custom_vjp whose backward runs the
-XLA tiled implementation's VJP (training keeps the fused-remat XLA path;
-this kernel is the inference hot path).
+Backward: the product path (`msda_windowed_levels`) computes d_off/d_w
+with the band-tiled Pallas backward kernel (`_kernel_bwd`, column tile on
+the grid for Mosaic compile time) and dV via the XLA tiled VJP restricted
+to the value argument; the legacy per-level wrapper keeps the full XLA
+tiled VJP unless GEDEPTH_MSDA_PALLAS_BWD=1.
 """
 from __future__ import annotations
 
@@ -930,11 +932,13 @@ def _fwd(value, off, w, query_hw, radius):
 
 
 def _use_pallas_bwd():
-    """The Pallas d_off/d_w backward is numerically verified but Mosaic
-    compiles it pathologically slowly (~2 min for a TINY shape; the model
-    needs ~10 distinct shapes), so the XLA tiled VJP stays the default
-    until the kernel is restructured for compile time. Opt in with
-    GEDEPTH_MSDA_PALLAS_BWD=1 (cached compiles amortise across runs)."""
+    """Legacy gate for the single-level wrapper's backward. The original
+    unrolled backward kernel compiled pathologically slowly (~2 min/shape);
+    `_kernel_bwd` has since been restructured with the column tile as a
+    GRID dimension (one Mosaic body per P), which fixed compile time, and
+    the product path (`msda_windowed_levels`) uses it unconditionally.
+    This per-level wrapper keeps the XLA tiled VJP by default only because
+    tests compare against it; opt in with GEDEPTH_MSDA_PALLAS_BWD=1."""
     import os
     return os.environ.get("GEDEPTH_MSDA_PALLAS_BWD") == "1"
 

@@ -24,15 +24,35 @@ def _manager(ckpt_dir: str, max_to_keep: int = 2) -> ocp.CheckpointManager:
     )
 
 
+class CheckpointKeeper:
+    """Persistent async checkpointer for the training loop.
+
+    One orbax CheckpointManager for the whole run; `save` returns as soon
+    as the on-device state is snapshotted and the write proceeds in the
+    background (training continues during I/O — orbax's async path). The
+    previous write is awaited before the next one starts, and `close()`
+    drains everything. The one-shot `save_checkpoint` below re-opens a
+    manager per call and blocks; keep it for scripts/tests."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 2):
+        self._mgr = _manager(ckpt_dir, max_to_keep)
+
+    def save(self, state, step: int, metrics: Optional[dict] = None):
+        payload = {"params": state.params, "batch_stats": state.batch_stats,
+                   "opt_state": state.opt_state, "step": state.step}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload),
+                       metrics=metrics or {})
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+
 def save_checkpoint(ckpt_dir: str, state, step: int, max_to_keep: int = 2,
                     metrics: Optional[dict] = None):
-    mgr = _manager(ckpt_dir, max_to_keep)
-    payload = {"params": state.params, "batch_stats": state.batch_stats,
-               "opt_state": state.opt_state, "step": state.step}
-    mgr.save(step, args=ocp.args.StandardSave(payload),
-             metrics=metrics or {})
-    mgr.wait_until_finished()
-    mgr.close()
+    keeper = CheckpointKeeper(ckpt_dir, max_to_keep)
+    keeper.save(state, step, metrics)
+    keeper.close()
 
 
 def restore_checkpoint(ckpt_dir: str, state, step: Optional[int] = None):

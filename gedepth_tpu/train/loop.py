@@ -28,7 +28,7 @@ from gedepth_tpu.parallel import create_mesh_for_batch, shard_batch
 from gedepth_tpu.train.optim import make_optimizer
 from gedepth_tpu.train.state import create_train_state
 from gedepth_tpu.train.steps import make_seg_train_step, make_train_step
-from gedepth_tpu.train.checkpoint import save_checkpoint, save_params_only
+from gedepth_tpu.train.checkpoint import CheckpointKeeper, save_params_only
 
 
 def build_train_pipeline(cfg: ExperimentConfig):
@@ -202,6 +202,7 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best = {key: sign * float("inf")}
+    keeper = None  # lazy async CheckpointKeeper (one manager per run)
     t_last = time.time()
     step0 = int(state.step)
     batch = first
@@ -238,7 +239,11 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
                                  state.params, state.batch_stats)
 
         if (it + 1) % cfg.train.checkpoint_interval == 0 or is_last:
-            save_checkpoint(osp.join(work_dir, "ckpts"), state, it + 1,
-                            cfg.train.max_keep_ckpts)
+            if keeper is None:
+                keeper = CheckpointKeeper(osp.join(work_dir, "ckpts"),
+                                          cfg.train.max_keep_ckpts)
+            keeper.save(state, it + 1)
 
+    if keeper is not None:
+        keeper.close()
     return state, best
