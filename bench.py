@@ -17,6 +17,9 @@ Configs benchmarked (override with BENCH_CONFIGS=comma,separated):
                                     (loads converted checkpoints).
   * gedepth_adaptive_kitti_tpu    — TPU-native flagship (windowed sampling,
                                     train-from-scratch parameter tree).
+The headline (last) line is the flagship at bf16 — the TPU-native
+production precision (abs-rel depth delta vs f32 measured at 0.0013 on
+converted Swin-S-scale weights, tests/test_composite_deltas.py).
 
 vs_baseline: the reference publishes no throughput figures (SURVEY.md §6).
 We normalise against an assumed 10 images/sec for the PyTorch
@@ -37,8 +40,8 @@ ITERS = int(os.environ.get("BENCH_ITERS", "50"))
 HEIGHT, WIDTH = 352, 1216
 DEFAULT_CONFIGS = ("gedepth_adaptive_kitti,"
                    "gedepth_adaptive_kitti_compat,"
-                   "gedepth_adaptive_kitti_tpu:bf16,"
-                   "gedepth_adaptive_kitti_tpu")
+                   "gedepth_adaptive_kitti_tpu,"
+                   "gedepth_adaptive_kitti_tpu:bf16")
 
 
 def bench_config(name, bf16=False):

@@ -39,6 +39,9 @@ class ModelConfig:
     # see gedepth_tpu/ops/msda.py and models/hahi.py)
     neck_sampling: str = "bilinear"
     neck_window_radius: int = 4
+    # HI self-attention queries start at this transformer level
+    # (hahi.py hi_min_level; train-from-scratch knob, params unchanged)
+    neck_hi_min_level: int = 0
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -83,6 +86,7 @@ class ModelConfig:
             neck_num_points=self.neck_num_points,
             neck_sampling=self.neck_sampling,
             neck_window_radius=self.neck_window_radius,
+            neck_hi_min_level=self.neck_hi_min_level,
             head_channels=self.head_channels,
             min_depth=self.min_depth, max_depth=self.max_depth,
             pe_variant=self.pe_variant, depth_scale=self.depth_scale,

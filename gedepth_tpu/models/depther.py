@@ -48,6 +48,7 @@ class GEDepth(nn.Module):
     # parameter tree + dense windowed sampling; see ops/msda.py, hahi.py)
     neck_sampling: str = "bilinear"
     neck_window_radius: int = 4
+    neck_hi_min_level: int = 0
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -77,6 +78,7 @@ class GEDepth(nn.Module):
             embed_dim=self.neck_embed_dim, num_points=self.neck_num_points,
             sampling=self.neck_sampling,
             window_radius=self.neck_window_radius,
+            hi_min_level=self.neck_hi_min_level,
             name="neck")(feats, train=train)
 
         y = None

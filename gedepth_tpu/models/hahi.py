@@ -238,6 +238,17 @@ class HAHINeck(nn.Module):
     cross_att: bool = True
     sampling: str = "bilinear"
     window_radius: int = 4
+    # First transformer level whose tokens QUERY the HI self-attention.
+    # 0 = all levels (reference semantics). 1 = skip the finest level's
+    # queries (it still serves as VALUES and keeps its lateral path) —
+    # the Mask2Former pixel-decoder design (deformable encoder on the
+    # coarser strides only): the finest grid is ~75% of the query tokens
+    # and dominates the deformable-attention cost. Parameter shapes are
+    # IDENTICAL for every setting (the query-side Denses are per-token),
+    # but a checkpoint trained at one setting expects its own semantics —
+    # this is a train-from-scratch knob for the TPU-native flagship, not a
+    # drop-in eval mode.
+    hi_min_level: int = 0
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -276,12 +287,19 @@ class HAHINeck(nn.Module):
         ref_self = (None if windowed
                     else jnp.asarray(_center_reference_points(spatial_shapes)))
         if self.self_att:
-            src = MSDeformAttention(
+            lo = self.hi_min_level
+            assert 0 <= lo < L
+            n0 = sum(h_ * w_ for (h_, w_) in spatial_shapes[:lo])
+            upd = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
                 sampling=self.sampling, window_radius=self.window_radius,
-                name="self_attn")(src, src, pos, ref_self, spatial_shapes,
-                                  deterministic,
-                                  query_shapes=spatial_shapes)
+                name="self_attn")(src[:, n0:], src, pos[:, n0:],
+                                  None if ref_self is None
+                                  else ref_self[n0:],
+                                  spatial_shapes, deterministic,
+                                  query_shapes=spatial_shapes[lo:])
+            src = (upd if lo == 0
+                   else jnp.concatenate([src[:, :n0], upd], axis=1))
 
         # HA: conv-stem query cross-attends into the token pyramid.
         B, Hc, Wc, _ = feat_conv.shape

@@ -180,6 +180,42 @@ def test_swin_scan_pairs_matches_loop():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_hi_min_level_same_params_different_semantics():
+    """hi_min_level=1 (HI self-attention queries start at the second
+    transformer level, Mask2Former-pixel-decoder style) must keep the
+    EXACT parameter tree of hi_min_level=0 — the query-side Denses are
+    per-token — while changing the forward, and grads must still reach
+    the self-attention parameters (via the coarser-level queries)."""
+    import dataclasses
+    import jax.numpy as jnp
+    cfg = get_config("smoke_synthetic")
+    m0 = dataclasses.replace(cfg.model, neck_sampling="windowed").build()
+    m1 = dataclasses.replace(cfg.model, neck_sampling="windowed",
+                             neck_hi_min_level=1).build()
+    img = _img(1, 96, 192, 5)
+    ch = jnp.full((1,), 1.65, jnp.float32)
+    v0 = m0.init(jax.random.PRNGKey(0), img, ch)
+    v1 = m1.init(jax.random.PRNGKey(0), img, ch)
+    assert (jax.tree.map(lambda x: x.shape, v0)
+            == jax.tree.map(lambda x: x.shape, v1))
+
+    d0 = np.asarray(m0.apply(v0, img, ch, method=m0.predict_depth))
+    d1 = np.asarray(m1.apply(v0, img, ch, method=m1.predict_depth))
+    assert d0.shape == d1.shape and np.isfinite(d1).all()
+    assert np.abs(d0 - d1).mean() > 0  # semantics actually differ
+
+    def loss(p):
+        out, _ = m1.apply({"params": p, "batch_stats": v1["batch_stats"]},
+                          img, ch, True,
+                          rngs={"dropout": jax.random.PRNGKey(1)},
+                          mutable=["batch_stats"])
+        return sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(out))
+
+    g = jax.grad(loss)(v1["params"])
+    off_g = g["neck"]["self_attn"]["sampling_offsets"]["kernel"]
+    assert float(jnp.abs(off_g).sum()) > 0
+
+
 def test_all_presets_build():
     """Every named preset constructs its model module (catches config/
     model-attribute drift without paying init/compile cost)."""
