@@ -35,6 +35,10 @@ def main():
                         help="cast params/activations to bfloat16 at the "
                         "jit boundary (inference only; depth clamps and "
                         "final resize stay f32)")
+    parser.add_argument("--options", nargs="*", default=None,
+                        help="dotted dataclass overrides, e.g. "
+                        "model.neck_hi_min_level=1 (same syntax as "
+                        "tools/train.py)")
     args = parser.parse_args()
 
     import numpy as np
@@ -43,6 +47,9 @@ def main():
     from gedepth_tpu.configs import get_config
 
     cfg = get_config(args.config)
+    if args.options:
+        from tools.train import apply_options
+        cfg = apply_options(cfg, args.options)
     model = cfg.model.build()
     c = 5 if cfg.model.pe_variant != "none" else 3
     rng = np.random.default_rng(0)
