@@ -290,16 +290,19 @@ class HAHINeck(nn.Module):
             lo = self.hi_min_level
             assert 0 <= lo < L
             n0 = sum(h_ * w_ for (h_, w_) in spatial_shapes[:lo])
-            upd = MSDeformAttention(
+            attn = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
                 sampling=self.sampling, window_radius=self.window_radius,
-                name="self_attn")(src[:, n0:], src, pos[:, n0:],
-                                  None if ref_self is None
-                                  else ref_self[n0:],
-                                  spatial_shapes, deterministic,
-                                  query_shapes=spatial_shapes[lo:])
-            src = (upd if lo == 0
-                   else jnp.concatenate([src[:, :n0], upd], axis=1))
+                name="self_attn")
+            if lo == 0:
+                src = attn(src, src, pos, ref_self, spatial_shapes,
+                           deterministic, query_shapes=spatial_shapes)
+            else:
+                upd = attn(src[:, n0:], src, pos[:, n0:],
+                           None if ref_self is None else ref_self[n0:],
+                           spatial_shapes, deterministic,
+                           query_shapes=spatial_shapes[lo:])
+                src = jnp.concatenate([src[:, :n0], upd], axis=1)
 
         # HA: conv-stem query cross-attends into the token pyramid.
         B, Hc, Wc, _ = feat_conv.shape
