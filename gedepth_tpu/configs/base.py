@@ -138,7 +138,12 @@ class TrainConfig:
     log_interval: int = 10
     seed: int = 0
     save_best: str = "abs_rel"            # rule: less
-    bf16_compute: bool = True             # cast activations to bf16 on TPU
+    # Opt-in bf16 mixed-precision training: the model forward/backward
+    # runs in bfloat16 (params/inputs cast at the apply boundary; master
+    # params, optimizer state, losses, grads, and BN running stats stay
+    # f32). Off by default: f32 matches the reference's training numerics
+    # and the bitwise-reproducibility contract.
+    bf16_compute: bool = False
     num_workers: int = 0                  # >1: multi-process batch prep
                                           # (reference builder.py
                                           # workers_per_gpu); 0 = one

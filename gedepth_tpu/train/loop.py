@@ -195,7 +195,8 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
         evaluator = SegEvaluator(model, test_ds, cfg.data)
     else:
         train_step = make_train_step(
-            model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight)
+            model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight,
+            bf16=cfg.train.bf16_compute)
         evaluator = Evaluator(model, test_ds, cfg.data)
     key = evaluator.key_metric
     sign = 1.0 if evaluator.rule == "less" else -1.0

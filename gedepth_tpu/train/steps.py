@@ -19,7 +19,7 @@ from gedepth_tpu.ops.resize import resize_bilinear
 def make_train_step(model, sig_loss_weight: float = 1.0,
                     slope_ce_weight: float = 0.08,
                     sig_max_depth: Optional[float] = None,
-                    donate: bool = True):
+                    donate: bool = True, bf16: bool = False):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch dict:
@@ -27,30 +27,50 @@ def make_train_step(model, sig_loss_weight: float = 1.0,
       depth_gt   (B, H, W) float32, 0 = invalid
       pe_k_gt    (B, H, W) slope classes (adaptive only)
       cam_height (B,)
+
+    bf16=True (TrainConfig.bf16_compute) runs the model forward/backward
+    in bfloat16 — params and inputs are cast at the apply boundary, so the
+    master params, optimizer state, losses, and gradients stay float32
+    (grads flow back through the cast). Halves the activation HBM traffic
+    on TPU; no loss scaling needed at bf16's exponent range. Smoke-scale
+    loss-trajectory parity vs f32 is tested in
+    tests/test_train.py::test_bf16_train_step_tracks_f32.
     """
     adaptive = model.pe_variant == "adaptive"
 
     def loss_fn(params, batch_stats, batch, rng):
-        variables = {"params": params}
+        apply_params = params
+        img = batch["img"]
+        if bf16:
+            apply_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            img = img.astype(jnp.bfloat16)
+        variables = {"params": apply_params}
         mutable = []
         if batch_stats:
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
         out, mutated = model.apply(
-            variables, batch["img"], batch.get("cam_height"), True,
+            variables, img, batch.get("cam_height"), True,
             rngs={"dropout": rng}, mutable=mutable)
         new_stats = mutated.get("batch_stats", batch_stats)
+        if bf16 and new_stats:
+            # BN running stats must keep the master (f32) dtypes or the
+            # donated state changes structure across steps
+            new_stats = jax.tree.map(lambda new, old: new.astype(old.dtype),
+                                     new_stats, batch_stats)
 
         gt = batch["depth_gt"][..., None]
-        depth = resize_bilinear(out["depth"], gt.shape[1:3],
-                                align_corners=True)
+        depth = resize_bilinear(out["depth"].astype(jnp.float32),
+                                gt.shape[1:3], align_corners=True)
         loss_depth = sig_loss_weight * sigloss(
             depth, gt, max_depth=sig_max_depth)
         metrics = {"loss_depth": loss_depth}
         total = loss_depth
         if adaptive:
             loss_slope = slope_ce_weight * softmax_ce_ignore(
-                out["slope_logits"], batch["pe_k_gt"])
+                out["slope_logits"].astype(jnp.float32), batch["pe_k_gt"])
             metrics["loss_slope"] = loss_slope
             total = total + loss_slope
         metrics["loss"] = total

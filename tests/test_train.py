@@ -93,6 +93,37 @@ def test_train_step_decreases_loss_sharded():
     assert last < first * 0.8, (first, last)
 
 
+def test_bf16_train_step_tracks_f32():
+    """bf16 mixed-precision training (TrainConfig.bf16_compute) keeps the
+    master state f32 (params / opt state / BN stats dtypes unchanged) and
+    its loss trajectory tracks the f32 step from the same init/stream."""
+    def run(bf16, steps=8):
+        model = _model()
+        batch = _batch(4)
+        tx, _ = make_optimizer(max_lr=1e-4, max_iters=10, warmup_iters=0)
+        state = create_train_state(model, tx, batch["img"],
+                                   jax.random.PRNGKey(0),
+                                   batch["cam_height"])
+        step = make_train_step(model, donate=False, bf16=bf16)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(steps):
+            rng, sub = jax.random.split(rng)
+            state, m = step(state, batch, sub)
+            losses.append(float(m["loss"]))
+        return np.asarray(losses), state
+
+    ref, _ = run(False)
+    got, state = run(True)
+    assert np.all(np.isfinite(got))
+    # master state stays f32 under bf16 compute
+    for leaf in jax.tree.leaves(state.params) + jax.tree.leaves(
+            state.batch_stats):
+        assert leaf.dtype != jnp.bfloat16
+    np.testing.assert_allclose(got, ref, rtol=0.05)
+    assert got[-1] < got[0]  # still learning
+
+
 def test_train_run_bitwise_reproducible():
     """Two independent runs from the same seed produce bitwise-identical
     params after 5 steps — guards against nondeterministic ops (unordered
