@@ -135,7 +135,8 @@ class Evaluator:
     rule = "less"
 
     def __init__(self, model, dataset, data_cfg, batch_size=1,
-                 flip_tta=None, ms_ratios=(), device_metrics=False):
+                 flip_tta=None, ms_ratios=(), device_metrics=False,
+                 bf16=False):
         """ms_ratios: extra multi-scale TTA ratios (reference --aug-test);
         the predictions of every ratio (each at base resolution, each
         flip-averaged when flip TTA is on) are averaged uniformly —
@@ -145,7 +146,11 @@ class Evaluator:
         via `batched_masked_metrics_jax` (one jitted call per batch) instead
         of the per-image numpy path; GT load + crop/mask stay on host (the
         protocol's full-res GT reload). Same numbers to float tolerance —
-        see test_metrics.py device/numpy agreement test."""
+        see test_metrics.py device/numpy agreement test.
+
+        bf16=True runs the jitted eval forward in bfloat16 (depth
+        clamps / final resize stay f32 — make_eval_step); metric
+        deltas quantified in tests/test_composite_deltas.py."""
         self.model = model
         self.dataset = dataset
         self.data_cfg = data_cfg
@@ -153,7 +158,8 @@ class Evaluator:
         self.device_metrics = device_metrics
         flip = data_cfg.eval_flip_tta if flip_tta is None else flip_tta
         ratios = tuple(ms_ratios) or (1.0,)
-        self.eval_steps = [make_eval_step(model, flip_tta=flip, ratio=r)
+        self.eval_steps = [make_eval_step(model, flip_tta=flip, ratio=r,
+                                          bf16=bf16)
                            for r in ratios]
         self.eval_step = self.eval_steps[0]
         self.pipeline = build_test_pipeline(data_cfg)

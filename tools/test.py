@@ -29,6 +29,9 @@ def main():
                              " intent): ratios x flip, predictions averaged")
     parser.add_argument("--aug-ratios", default="0.5,0.75,1.0,1.25,1.5,1.75",
                         help="comma-separated ratios for --aug-test")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the eval forward in bfloat16 (depth "
+                             "clamps and final resize stay f32)")
     parser.add_argument("--device-metrics", action="store_true",
                         help="compute the 9 per-image metrics on device "
                              "(batched masked reductions) instead of on "
@@ -72,7 +75,8 @@ def main():
                           batch_size=args.batch_size,
                           flip_tta=False if args.no_tta else None,
                           ms_ratios=ms_ratios,
-                          device_metrics=args.device_metrics)
+                          device_metrics=args.device_metrics,
+                          bf16=args.bf16)
 
     on_prediction = None
     if args.format_only or args.show_dir:
