@@ -198,8 +198,18 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight,
             bf16=cfg.train.bf16_compute)
         evaluator = Evaluator(model, test_ds, cfg.data)
-    key = evaluator.key_metric
-    sign = 1.0 if evaluator.rule == "less" else -1.0
+    # save-best metric: TrainConfig.save_best (reference checkpoint_config
+    # save_best="abs_rel", eval_hooks.py greater/less rules); the
+    # evaluator's own key is the fallback for metrics it doesn't publish
+    # (a depth name on a seg run, or empty).
+    less_is_better = {"abs_rel", "sq_rel", "rmse", "rmse_log", "log_10",
+                      "silog"}
+    published = ({"miou", "acc"} if evaluator.key_metric == "miou"
+                 else less_is_better | {"a1", "a2", "a3"})
+    key = cfg.train.save_best
+    if key not in published:
+        key = evaluator.key_metric
+    sign = 1.0 if key in less_is_better else -1.0
 
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
     best = {key: sign * float("inf")}
