@@ -111,6 +111,9 @@ class DataConfig:
     eval_flip_tta: bool = True
     # DDAD specifics
     ddad_resize: Optional[Tuple[int, int]] = None   # (384, 640) for DDAD
+    # epoch lengthening: wrap the train dataset in RepeatDataset
+    # (reference dataset_wrappers.py / configs' RepeatDataset times=...)
+    repeat_times: int = 1
     # synthetic fallback
     synthetic_size: int = 64
 

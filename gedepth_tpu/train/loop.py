@@ -22,6 +22,7 @@ from gedepth_tpu.data import (
     Compose, KBCrop, NYUCrop, RandomRatioResize, PadToSize, RandomRotate,
     RandomFlip, RandomCrop, ColorAug, Normalize, DDADResize, TrainLoader,
     SyntheticGroundDataset, KittiDataset, DDADDataset, NYUDataset)
+from gedepth_tpu.data.wrappers import RepeatDataset
 from gedepth_tpu.eval import Evaluator
 from gedepth_tpu.eval.evaluator import SegEvaluator
 from gedepth_tpu.parallel import create_mesh_for_batch, shard_batch
@@ -125,6 +126,8 @@ def build_datasets(cfg: ExperimentConfig):
                                       height=eh, width=ew, use_pe=use_pe,
                                       depth_scale=cfg.model.depth_scale,
                                       max_depth=cfg.model.max_depth, seed=1)
+    if d.repeat_times > 1:
+        train = RepeatDataset(train, d.repeat_times)
     return train, test
 
 

@@ -110,6 +110,34 @@ def main():
             print(f"iter {it+1}/{max_iters} mask_ce={rec['mask_ce']:.4f}",
                   flush=True)
 
+    # final ground-mask IoU eval (reference maskpe_eval buckets,
+    # kitti.py:387-461: per-image IoU vs the "PE within 5% of lidar" GT,
+    # plus >=60 / >=75 bucket fractions)
+    from gedepth_tpu.eval.mask_iou import (
+        MaskIoUAccumulator, pe_ground_truth_mask)
+
+    @jax.jit
+    def infer(params, batch_stats, img):
+        logits = model.apply({"params": params, "batch_stats": batch_stats},
+                             img, None, False)
+        return jnp.argmax(logits, axis=-1)
+
+    acc = MaskIoUAccumulator()
+    for _ in range(4):
+        b = next(batch_iter)
+        pred = np.asarray(infer(state.params, state.batch_stats,
+                                jnp.asarray(b["img"])))
+        pe = np.asarray(b["img"])[..., 4]
+        gt = np.asarray(b["depth_gt"])
+        for i in range(pred.shape[0]):
+            acc.add(pred[i] == 1, pe_ground_truth_mask(pe[i], gt[i]))
+    summary = acc.summary()
+    logger.log({"mode": "val", **summary})
+    print(f"ground-mask IoU: miou={summary['miou']:.2f} "
+          f">=60: {summary['frac_over_60']:.2f} "
+          f">=75: {summary['frac_over_75']:.2f} (n={summary['n']})",
+          flush=True)
+
     out = osp.join(work_dir, "pe_mask_backbone.npz")
     save_params_only(out, extract_backbone(state.params))
     print(f"saved backbone overlay to {out}")
