@@ -46,6 +46,33 @@ def test_repeat_times_config_wraps_train_dataset():
     assert not isinstance(test, RepeatDataset)
 
 
+def test_learned_positional_encoding_shapes():
+    """Reference position_encoding.py:103 analogue (sine PE is the one the
+    shipped configs use; the learned variant is the toolbox alternative)."""
+    import jax
+    from gedepth_tpu.models.layers import LearnedPositionalEncoding
+
+    mod = LearnedPositionalEncoding(num_feats=8, max_len=16)
+    v = mod.init(jax.random.PRNGKey(0), 5, 7)
+    out = mod.apply(v, 5, 7)
+    assert out.shape == (5, 7, 16)
+    # col embed leads, row embed trails (reference cat order)
+    np.testing.assert_array_equal(
+        np.asarray(out[0, :, :8]), np.asarray(v["params"]["col_embed"][:7]))
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 0, 8:]), np.asarray(v["params"]["row_embed"][:5]))
+
+
+def test_torch_linear_kernel_init_bound():
+    import jax
+    from gedepth_tpu.models.layers import torch_linear_kernel_init
+
+    k = torch_linear_kernel_init(jax.random.PRNGKey(0), (64, 32))
+    bound = 1.0 / np.sqrt(64)
+    assert float(np.abs(np.asarray(k)).max()) <= bound
+    assert float(np.asarray(k).std()) > 0.3 * bound  # actually uniform
+
+
 def test_mask_iou_values():
     a = np.zeros((4, 4), bool)
     a[:2] = True
