@@ -174,6 +174,25 @@ def test_eval_step_flip_tta_consistency():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_eval_step_bf16_close_to_f32():
+    """The Evaluator-reachable bf16 eval forward (tools/test.py --bf16)
+    returns f32 depth close to the f32 path; clamps still hold."""
+    model = _model()
+    batch = _batch(2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["img"]),
+                           jnp.asarray(batch["cam_height"]))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    f32 = np.asarray(make_eval_step(model, flip_tta=False)(params, stats,
+                                                           jb))
+    b16 = np.asarray(make_eval_step(model, flip_tta=False, bf16=True)(
+        params, stats, jb))
+    assert b16.dtype == np.float32
+    assert b16.min() >= model.min_depth - 1e-6
+    rel = np.abs(b16 - f32) / np.maximum(f32, model.min_depth)
+    assert float(rel.mean()) < 0.02
+
+
 def test_eval_step_multiscale_ratio():
     """ratio=1.0 is the identity view; a non-unit ratio runs the forward at
     the snapped scaled size and returns base-resolution predictions
