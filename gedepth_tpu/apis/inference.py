@@ -27,12 +27,15 @@ class DeptherHandle:
 
 def init_depther(config: Union[str, object], checkpoint: Optional[str] = None,
                  flip_tta: Optional[bool] = None,
-                 pe_path: Optional[str] = None) -> DeptherHandle:
+                 pe_path: Optional[str] = None,
+                 bf16: bool = False) -> DeptherHandle:
     """Build a model + weights handle for single-image inference.
 
     pe_path: precomputed plane-embedding .npy/.npz for the camera (required
     for PE variants when feeding raw images; samples dicts that already carry
     5 channels don't need it).
+    bf16: run the jitted forward in bfloat16 (TPU-native serving precision;
+    depth clamps / final resize stay f32 — see make_eval_step).
     """
     import jax
     import jax.numpy as jnp
@@ -58,7 +61,7 @@ def init_depther(config: Union[str, object], checkpoint: Optional[str] = None,
         pe_raw = (arr["pe"] if hasattr(arr, "files") else arr).astype(
             np.float32)
     return DeptherHandle(cfg, model, params, stats,
-                         make_eval_step(model, flip_tta=flip),
+                         make_eval_step(model, flip_tta=flip, bf16=bf16),
                          build_test_pipeline(cfg.data), pe_raw)
 
 
