@@ -57,6 +57,16 @@ def build_train_pipeline(cfg: ExperimentConfig):
             ColorAug(0.5),
             Normalize(depth_scale=norm_scale),
         ])
+    if d.dataset in ("sunrgbd", "cityscapes", "nuscenes", "custom"):
+        # toolbox extras: generic rotate/flip/crop/color pipeline (no
+        # dataset-specific crop — their reference configs are per-user)
+        return Compose([
+            RandomRotate(0.5, d.rotate_degree),
+            RandomFlip(d.flip_prob),
+            RandomCrop(d.crop_size),
+            ColorAug(0.5),
+            Normalize(depth_scale=norm_scale),
+        ])
     if d.dataset == "nyu":
         # reference configs/_base_/datasets/nyu.py train pipeline
         return Compose([
@@ -106,15 +116,31 @@ def build_datasets(cfg: ExperimentConfig):
                            pe_clip=cfg.model.depth_scale,
                            min_depth=cfg.model.min_depth,
                            max_depth=cfg.model.max_depth)
-    elif d.dataset == "nyu":
-        train = NYUDataset(d.data_root, d.train_split,
-                           depth_scale=d.gt_depth_scale,
-                           min_depth=cfg.model.min_depth,
-                           max_depth=cfg.model.max_depth)
-        test = NYUDataset(d.data_root, d.test_split,
-                          depth_scale=d.gt_depth_scale, test_mode=True,
-                          min_depth=cfg.model.min_depth,
-                          max_depth=cfg.model.max_depth)
+    elif d.dataset in ("nyu", "sunrgbd", "nuscenes"):
+        from gedepth_tpu.data import SUNRGBDDataset, NuScenesDataset
+        cls = {"nyu": NYUDataset, "sunrgbd": SUNRGBDDataset,
+               "nuscenes": NuScenesDataset}[d.dataset]
+        train = cls(d.data_root, d.train_split,
+                    depth_scale=d.gt_depth_scale,
+                    min_depth=cfg.model.min_depth,
+                    max_depth=cfg.model.max_depth)
+        test = cls(d.data_root, d.test_split,
+                   depth_scale=d.gt_depth_scale, test_mode=True,
+                   min_depth=cfg.model.min_depth,
+                   max_depth=cfg.model.max_depth)
+    elif d.dataset == "cityscapes":
+        from gedepth_tpu.data import CityscapesDataset
+        train = CityscapesDataset(d.data_root, d.train_split,
+                                  min_depth=cfg.model.min_depth,
+                                  max_depth=cfg.model.max_depth)
+        test = CityscapesDataset(d.data_root, d.test_split, test_mode=True,
+                                 min_depth=cfg.model.min_depth,
+                                 max_depth=cfg.model.max_depth)
+    elif d.dataset == "custom":
+        from gedepth_tpu.data import CustomDepthDataset
+        # qualitative inference folder: no GT, eval-only
+        train = CustomDepthDataset(d.data_root)
+        test = CustomDepthDataset(d.data_root)
     else:
         h, w = d.crop_size
         train = SyntheticGroundDataset(size=d.synthetic_size, height=h,

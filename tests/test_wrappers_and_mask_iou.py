@@ -46,6 +46,37 @@ def test_repeat_times_config_wraps_train_dataset():
     assert not isinstance(test, RepeatDataset)
 
 
+def test_build_datasets_dispatches_toolbox_extras(tmp_path):
+    """sunrgbd / cityscapes / nuscenes / custom dataset names are reachable
+    from DataConfig (reference toolbox dataset registry analogue)."""
+    import dataclasses
+    from PIL import Image
+    from gedepth_tpu.configs import get_config
+    from gedepth_tpu.train.loop import build_datasets
+    from gedepth_tpu.data import (
+        SUNRGBDDataset, CityscapesDataset, NuScenesDataset,
+        CustomDepthDataset)
+
+    root = tmp_path
+    Image.fromarray(np.zeros((8, 12, 3), np.uint8)).save(root / "a.png")
+    Image.fromarray(
+        np.ones((8, 12), np.uint16), mode="I;16").save(root / "d.png")
+    (root / "split.txt").write_text("a.png d.png\n")
+
+    cfg0 = get_config("smoke_synthetic")
+    want = {"sunrgbd": SUNRGBDDataset, "cityscapes": CityscapesDataset,
+            "nuscenes": NuScenesDataset, "custom": CustomDepthDataset}
+    for name, cls in want.items():
+        cfg = cfg0.replace(data=dataclasses.replace(
+            cfg0.data, dataset=name, data_root=str(root),
+            train_split="split.txt", test_split="split.txt"))
+        train, test = build_datasets(cfg)
+        assert isinstance(train, cls), name
+        # custom lists the whole folder (2 images); split-based sets have 1
+        assert len(test) == (2 if name == "custom" else 1)
+        assert test[0]["img"].shape == (8, 12, 3)
+
+
 def test_learned_positional_encoding_shapes():
     """Reference position_encoding.py:103 analogue (sine PE is the one the
     shipped configs use; the learned variant is the toolbox alternative)."""
