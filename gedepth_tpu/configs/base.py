@@ -109,6 +109,11 @@ class DataConfig:
     garg_crop: bool = True
     eigen_crop: bool = False
     eval_flip_tta: bool = True
+    # 'whole' (reference shipped configs) or 'slide' (sliding-window
+    # inference — the reference's declared-but-NotImplemented test_cfg
+    # mode, encoder_decoder.py:218-222). Slide window/step default to
+    # crop_size / half of it; override via Evaluator or tools/test.py.
+    eval_mode: str = "whole"
     # DDAD specifics
     ddad_resize: Optional[Tuple[int, int]] = None   # (384, 640) for DDAD
     # epoch lengthening: wrap the train dataset in RepeatDataset

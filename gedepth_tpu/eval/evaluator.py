@@ -24,7 +24,7 @@ from gedepth_tpu.core.metrics import (
 from gedepth_tpu.data import (
     Compose, KBCrop, Normalize, DDADResize, EvalLoader)
 from gedepth_tpu.ops.resize import resize_bilinear
-from gedepth_tpu.train.steps import make_eval_step
+from gedepth_tpu.train.steps import make_eval_step, make_slide_eval_step
 
 
 def build_test_pipeline(data_cfg):
@@ -136,7 +136,7 @@ class Evaluator:
 
     def __init__(self, model, dataset, data_cfg, batch_size=1,
                  flip_tta=None, ms_ratios=(), device_metrics=False,
-                 bf16=False):
+                 bf16=False, mode=None, slide_tile=None, slide_stride=None):
         """ms_ratios: extra multi-scale TTA ratios (reference --aug-test);
         the predictions of every ratio (each at base resolution, each
         flip-averaged when flip TTA is on) are averaged uniformly —
@@ -150,17 +150,32 @@ class Evaluator:
 
         bf16=True runs the jitted eval forward in bfloat16 (depth
         clamps / final resize stay f32 — make_eval_step); metric
-        deltas quantified in tests/test_composite_deltas.py."""
+        deltas quantified in tests/test_composite_deltas.py.
+
+        mode='slide' runs sliding-window inference (the reference's
+        declared-but-NotImplemented test_cfg mode, encoder_decoder.py:
+        218-222) with window `slide_tile` and step `slide_stride`
+        (defaults: the config's train crop size / half of it); overlaps
+        are averaged. Incompatible with ms_ratios."""
         self.model = model
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.batch_size = batch_size
         self.device_metrics = device_metrics
         flip = data_cfg.eval_flip_tta if flip_tta is None else flip_tta
-        ratios = tuple(ms_ratios) or (1.0,)
-        self.eval_steps = [make_eval_step(model, flip_tta=flip, ratio=r,
-                                          bf16=bf16)
-                           for r in ratios]
+        mode = mode or getattr(data_cfg, "eval_mode", "whole")
+        if mode == "slide":
+            assert not ms_ratios, "slide mode does not compose with " \
+                "multi-scale TTA (pick one)"
+            tile = slide_tile or data_cfg.crop_size
+            stride = slide_stride or (tile[0] // 2, tile[1] // 2)
+            self.eval_steps = [make_slide_eval_step(
+                model, tile, stride, flip_tta=flip, bf16=bf16)]
+        else:
+            ratios = tuple(ms_ratios) or (1.0,)
+            self.eval_steps = [make_eval_step(model, flip_tta=flip, ratio=r,
+                                              bf16=bf16)
+                               for r in ratios]
         self.eval_step = self.eval_steps[0]
         self.pipeline = build_test_pipeline(data_cfg)
 

@@ -221,3 +221,85 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False,
         return pred[..., 0]
 
     return eval_step
+
+
+def slide_positions(size: int, tile: int, stride: int):
+    """Static window starts covering [0, size) (mmseg slide_inference
+    grid: ceil((size - tile) / stride) + 1 windows, the last one pulled
+    back flush with the border so every pixel is covered)."""
+    if tile >= size:
+        return [0]
+    n = -(-(size - tile) // stride) + 1
+    return [min(i * stride, size - tile) for i in range(n)]
+
+
+def make_slide_eval_step(model, tile, stride, flip_tta: bool = True,
+                         bf16: bool = False):
+    """Sliding-window eval step: returns eval_step(params, batch_stats,
+    batch) -> (B, H, W) depth.
+
+    The reference declares test_cfg mode='slide' but leaves it
+    NotImplementedError (encoder_decoder.py:218-222, mmseg's design); this
+    implements what it intended, TPU-style: the window grid is static for
+    a given input shape, every crop runs the SAME compiled forward at the
+    (tile_h, tile_w) shape, and overlapping predictions are averaged via
+    an accumulate/count pair (mmseg slide_inference semantics). Use when
+    an image is larger than the trained crop and 'whole' mode would see
+    unfamiliar absolute positions, or to bound activation memory on very
+    large inputs (each forward is tile-sized regardless of image size).
+
+    Depth is clamped per-crop (the reference clamps per-forward in
+    encode_decode); flip TTA wraps the whole slide like 'whole' mode.
+    """
+    th, tw = int(tile[0]), int(tile[1])
+    sh, sw = int(stride[0]), int(stride[1])
+    if sh > th or sw > tw:
+        raise ValueError(f"stride {stride} must not exceed tile {tile} "
+                         "(uncovered gaps)")
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        if bf16:
+            params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+            batch = dict(batch, img=batch["img"].astype(jnp.bfloat16))
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        ch = batch.get("cam_height")
+
+        img = batch["img"]
+        B, H, W = img.shape[0], img.shape[1], img.shape[2]
+        if th > H or tw > W:
+            raise ValueError(f"slide tile {(th, tw)} larger than input "
+                             f"{(H, W)}; use mode='whole'")
+
+        positions = [(y0, x0) for y0 in slide_positions(H, th, sh)
+                     for x0 in slide_positions(W, tw, sw)]
+
+        def run(im):
+            # one lax.scan over the stacked crops keeps a single copy of
+            # the model in the HLO no matter how many windows there are
+            crops = jnp.stack([im[:, y0:y0 + th, x0:x0 + tw, :]
+                               for (y0, x0) in positions])
+
+            def body(_, crop):
+                out = model.apply(variables, crop, ch, False)
+                d = out["depth"].astype(jnp.float32)
+                d = jnp.clip(d, model.min_depth, model.max_depth)
+                return 0, resize_bilinear(d, (th, tw), align_corners=True)
+
+            _, ds = jax.lax.scan(body, 0, crops)
+            acc = jnp.zeros((B, H, W, 1), jnp.float32)
+            cnt = jnp.zeros((1, H, W, 1), jnp.float32)
+            for i, (y0, x0) in enumerate(positions):
+                acc = acc.at[:, y0:y0 + th, x0:x0 + tw, :].add(ds[i])
+                cnt = cnt.at[:, y0:y0 + th, x0:x0 + tw, :].add(1.0)
+            return acc / cnt
+
+        pred = run(img)
+        if flip_tta:
+            pred_f = run(img[:, :, ::-1, :])[:, :, ::-1, :]
+            pred = 0.5 * (pred + pred_f)
+        return pred[..., 0]
+
+    return eval_step

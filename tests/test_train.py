@@ -217,6 +217,56 @@ def test_eval_step_multiscale_ratio():
     assert np.abs(scaled - base).max() > 0
 
 
+def test_slide_positions_cover_and_match_mmseg_grid():
+    from gedepth_tpu.train.steps import slide_positions
+    # mmseg slide_inference grid: ceil((size - tile) / stride) + 1 windows,
+    # last flush with the border
+    assert slide_positions(10, 10, 5) == [0]
+    assert slide_positions(10, 12, 5) == [0]          # tile >= size
+    assert slide_positions(20, 10, 5) == [0, 5, 10]
+    assert slide_positions(21, 10, 5) == [0, 5, 10, 11]
+    for size, tile, stride in [(33, 8, 3), (64, 16, 16), (17, 16, 5)]:
+        pos = slide_positions(size, tile, stride)
+        covered = np.zeros(size, bool)
+        for p in pos:
+            assert 0 <= p <= max(size - tile, 0)
+            covered[p:p + tile] = True
+        assert covered.all()
+
+
+def test_slide_eval_step():
+    """mode='slide' (the reference's declared-but-NotImplemented test_cfg
+    mode): full-size tile reduces exactly to 'whole' inference; overlapping
+    tiles produce finite clamped predictions at the input resolution."""
+    from gedepth_tpu.train.steps import make_slide_eval_step
+
+    model = _model()
+    batch = _batch(2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["img"]),
+                           jnp.asarray(batch["cam_height"]))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    whole = np.asarray(make_eval_step(model, flip_tta=False)(
+        params, stats, jb))
+    # window == full image: slide must equal whole bit-for-bit-ish
+    full = np.asarray(make_slide_eval_step(model, (32, 48), (16, 24),
+                                           flip_tta=False)(params, stats,
+                                                           jb))
+    np.testing.assert_allclose(full, whole, rtol=1e-5, atol=1e-5)
+    # genuine 2x2 overlapping grid
+    slid = np.asarray(make_slide_eval_step(model, (32, 32), (16, 16),
+                                           flip_tta=False)(params, stats,
+                                                           jb))
+    assert slid.shape == whole.shape
+    assert np.isfinite(slid).all()
+    assert slid.min() >= model.min_depth - 1e-6
+    assert slid.max() <= model.max_depth + 1e-6
+    # flip TTA wraps the slide like whole mode
+    tta = np.asarray(make_slide_eval_step(model, (32, 32), (16, 16),
+                                          flip_tta=True)(params, stats, jb))
+    assert tta.shape == whole.shape and np.isfinite(tta).all()
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from gedepth_tpu.train.checkpoint import (
         save_checkpoint, restore_checkpoint, save_params_only,

@@ -33,8 +33,9 @@ def main():
                         "over the tunnel) or the full prediction")
     parser.add_argument("--bf16", action="store_true",
                         help="cast params/activations to bfloat16 at the "
-                        "jit boundary (inference only; depth clamps and "
-                        "final resize stay f32)")
+                        "jit boundary (with --train-step: mixed-precision "
+                        "training, f32 master params/grads; otherwise "
+                        "inference with f32 depth clamps/final resize)")
     parser.add_argument("--options", nargs="*", default=None,
                         help="dotted dataclass overrides, e.g. "
                         "model.neck_hi_min_level=1 (same syntax as "
@@ -70,7 +71,7 @@ def main():
             make_optimizer, create_train_state, make_train_step)
         tx, _ = make_optimizer(cfg.optim.max_lr, 1000, 0)
         state = create_train_state(model, tx, img, jax.random.PRNGKey(0), ch)
-        step = make_train_step(model)
+        step = make_train_step(model, bf16=args.bf16)
         batch = {
             "img": img,
             "depth_gt": jnp.abs(img[..., 0]) * 10,

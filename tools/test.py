@@ -32,6 +32,14 @@ def main():
     parser.add_argument("--bf16", action="store_true",
                         help="run the eval forward in bfloat16 (depth "
                              "clamps and final resize stay f32)")
+    parser.add_argument("--slide", action="store_true",
+                        help="sliding-window inference (test_cfg "
+                             "mode='slide'): tile/stride from --slide-tile/"
+                             "--slide-stride, overlaps averaged")
+    parser.add_argument("--slide-tile", default=None,
+                        help="H,W of the slide window (default: train crop)")
+    parser.add_argument("--slide-stride", default=None,
+                        help="H,W slide step (default: half the tile)")
     parser.add_argument("--device-metrics", action="store_true",
                         help="compute the 9 per-image metrics on device "
                              "(batched masked reductions) instead of on "
@@ -76,7 +84,14 @@ def main():
                           flip_tta=False if args.no_tta else None,
                           ms_ratios=ms_ratios,
                           device_metrics=args.device_metrics,
-                          bf16=args.bf16)
+                          bf16=args.bf16,
+                          mode="slide" if args.slide else None,
+                          slide_tile=tuple(
+                              int(v) for v in args.slide_tile.split(","))
+                          if args.slide_tile else None,
+                          slide_stride=tuple(
+                              int(v) for v in args.slide_stride.split(","))
+                          if args.slide_stride else None)
 
     on_prediction = None
     if args.format_only or args.show_dir:
