@@ -86,6 +86,15 @@ _PRESETS = {
         data=_ddad_data(),
         optim=OptimConfig(warmup_iters=0),
         train=TrainConfig(max_iters=38400, global_batch=32)),
+    # TPU-native DDAD flagship (same windowed-neck + scanned-Swin recipe
+    # as gedepth_adaptive_kitti_tpu, DDAD data/recipe constants)
+    "gedepth_adaptive_ddad_tpu": lambda: ExperimentConfig(
+        name="gedepth_adaptive_ddad_tpu",
+        model=dataclasses.replace(_ddad_model("adaptive"),
+                                  neck_sampling="windowed", swin_scan=True),
+        data=_ddad_data(),
+        optim=OptimConfig(warmup_iters=0),
+        train=TrainConfig(max_iters=38400, global_batch=32)),
     # ---- legacy toolbox model zoo (reference configs/_base_/models/*) ----
     # AdaBins: EfficientNet + mViT adaptive bins (_base_/models/adabins.py)
     "adabins_nyu": lambda: ExperimentConfig(
