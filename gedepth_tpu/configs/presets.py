@@ -67,12 +67,14 @@ _PRESETS = {
     # sample's displacement from its query grid center to +-radius level
     # pixels (models/hahi.py windowed_compat). Radius 8 covers the mmcv
     # offset-bias init reach; the approximation vs the exact gather path is
-    # quantified in tests/test_composite_parity.py.
+    # quantified in tests/test_composite_parity.py. swin_scan only changes
+    # the param LAYOUT (stacked pairs), not values — checkpoint loading
+    # adapts either layout automatically (swin.adapt_swin_layout).
     "gedepth_adaptive_kitti_compat": lambda: ExperimentConfig(
         name="gedepth_adaptive_kitti_compat",
         model=ModelConfig(pe_variant="adaptive",
                           neck_sampling="windowed_compat",
-                          neck_window_radius=8),
+                          neck_window_radius=8, swin_scan=True),
         data=_kitti_data()),
     # configs/depthformer/depthformer_v_ddad.py
     "gedepth_vanilla_ddad": lambda: ExperimentConfig(
@@ -96,29 +98,41 @@ _PRESETS = {
         optim=OptimConfig(warmup_iters=0),
         train=TrainConfig(max_iters=38400, global_batch=32)),
     # ---- legacy toolbox model zoo (reference configs/_base_/models/*) ----
-    # AdaBins: EfficientNet + mViT adaptive bins (_base_/models/adabins.py)
+    # AdaBins: EfficientNet + mViT adaptive bins (_base_/models/adabins.py;
+    # SigLoss loss_weight=10)
     "adabins_nyu": lambda: ExperimentConfig(
         name="adabins_nyu",
         model=ModelConfig(arch="adabins", backbone_variant="b0",
                           head_channels=128, n_bins=256, max_depth=10.0),
         data=_nyu_data(),
+        optim=OptimConfig(sig_loss_weight=10.0),
         train=TrainConfig(max_iters=38400, global_batch=16)),
-    # BTS: ResNet-50 + local planar guidance (_base_/models/bts.py)
+    # BTS: ResNet-50 + local planar guidance (_base_/models/bts.py;
+    # SigLoss loss_weight=1.0 — explicit in the reference config)
     "bts_kitti": lambda: ExperimentConfig(
         name="bts_kitti",
         model=ModelConfig(arch="bts", backbone_variant="50",
                           head_channels=128, max_depth=80.0),
         data=_kitti_data()),
-    # DPT: ViT-Base + reassemble/fusion head (_base_/models/dpt.py)
+    # DPT: ViT-Base + reassemble/fusion head (_base_/models/dpt.py sets no
+    # loss_decode -> the base head's default SigLoss loss_weight=10
+    # applies, decode_head.py:306-308)
     "dpt_kitti": lambda: ExperimentConfig(
         name="dpt_kitti",
         model=ModelConfig(arch="dpt", head_channels=256, max_depth=80.0),
-        data=_kitti_data()),
-    # BinsFormer: Swin-T + bin-query transformer (_base_/models/binsformer.py)
+        data=_kitti_data(),
+        optim=OptimConfig(sig_loss_weight=10.0)),
+    # BinsFormer: Swin-T + bin-query transformer (_base_/models/
+    # binsformer.py: SigLoss 10, aux layers [2,5] weights [1/4,1/2],
+    # scene-class CE 1e-2, chamfer declared OFF)
     "binsformer_nyu": lambda: ExperimentConfig(
         name="binsformer_nyu",
         model=ModelConfig(arch="binsformer", n_bins=64, max_depth=10.0),
-        data=_nyu_data(),
+        data=dataclasses.replace(_nyu_data(), scene_classes=True),
+        optim=OptimConfig(sig_loss_weight=10.0,
+                          aux_loss_indices=(2, 5),
+                          aux_loss_weights=(0.25, 0.5),
+                          class_ce_weight=1e-2),
         train=TrainConfig(max_iters=38400, global_batch=16)),
     # DenseDepth: ResNet-50 + UpSample-chain (_base_/models/densedepth.py)
     "densedepth_kitti": lambda: ExperimentConfig(

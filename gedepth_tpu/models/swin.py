@@ -16,7 +16,7 @@ Outputs (multi-scale pyramid):
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -298,6 +298,63 @@ def stack_swin_params(backbone_params: dict, depths) -> dict:
     return out
 
 
+def unstack_swin_params(backbone_params: dict) -> dict:
+    """Scanned-pair param tree -> per-block tree (inverse of
+    `stack_swin_params`): `stage{i}_pairs/block{j}` stacked entries become
+    `stage{i}_block{2p+j}` per-block entries."""
+    import jax
+
+    out = {k: v for k, v in backbone_params.items()
+           if not (k.startswith("stage") and k.endswith("_pairs"))}
+    for k, pairs in backbone_params.items():
+        if not (k.startswith("stage") and k.endswith("_pairs")):
+            continue
+        i = k[len("stage"):-len("_pairs")]
+        n_pairs = jax.tree_util.tree_leaves(pairs["block0"])[0].shape[0]
+        for p in range(n_pairs):
+            for j in range(2):
+                out[f"stage{i}_block{2 * p + j}"] = jax.tree.map(
+                    lambda a, p=p: np.asarray(a)[p], pairs[f"block{j}"])
+    return out
+
+
+def adapt_swin_layout(backbone_params: dict, template_backbone: dict) -> dict:
+    """Convert a backbone param tree between the per-block and scanned-pair
+    layouts so it matches `template_backbone`'s layout.
+
+    Checkpoints written from a `scan_pairs=False` model (or the torch
+    converter's per-block output) load into a scanned model and vice versa;
+    trees already in the template's layout pass through unchanged. Stages
+    whose block set is incomplete/odd are left as-is (their entries simply
+    won't match the template and stay at fresh init in soft merges)."""
+    src_pairs = any(k.startswith("stage") and k.endswith("_pairs")
+                    for k in backbone_params)
+    dst_pairs = any(k.startswith("stage") and k.endswith("_pairs")
+                    for k in template_backbone)
+    if src_pairs == dst_pairs:
+        return backbone_params
+    if not dst_pairs:
+        return unstack_swin_params(backbone_params)
+    # per-block -> stacked pairs, stage by stage, skipping incomplete stages
+    out = {k: v for k, v in backbone_params.items()
+           if not (k.startswith("stage") and "_block" in k)}
+    stages: dict = {}
+    for k, v in backbone_params.items():
+        if k.startswith("stage") and "_block" in k:
+            i, d = k[len("stage"):].split("_block")
+            stages.setdefault(i, {})[int(d)] = v
+    for i, blocks in stages.items():
+        depth = max(blocks) + 1
+        if depth % 2 or set(blocks) != set(range(depth)):
+            for d, v in blocks.items():  # incomplete stage: pass through
+                out[f"stage{i}_block{d}"] = v
+            continue
+        staged = stack_swin_params(
+            {f"stage0_block{d}": blocks[d] for d in range(depth)}, (depth,))
+        out[f"stage{i}_pairs"] = staged["stage0_pairs"]
+    return out
+
+
 class DepthFormerSwin(nn.Module):
     """Conv stem (RGB) + Swin stages (RGBP when use_pe).
 
@@ -319,6 +376,15 @@ class DepthFormerSwin(nn.Module):
     stem_channels: int = 64
     remat: bool = True  # rematerialise blocks in the backward pass
     scan_pairs: bool = False
+    # learned absolute position embedding added after patch embed
+    # (reference depthformer_swin.py use_abs_pos_embed — off in every
+    # shipped config; checkpoint ingestion reshapes the (1, L, C) official
+    # table, depthformer_swin.py:1078-1086). pretrain_grid pins the table's
+    # (H/4, W/4) grid (e.g. (56, 56) for a 224-pretrained official ckpt);
+    # on input-size mismatch the table is bilinearly resized at forward —
+    # a conscious fix: the reference would shape-error there.
+    use_abs_pos_embed: bool = False
+    pretrain_grid: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, img, train: bool = False):
@@ -332,6 +398,14 @@ class DepthFormerSwin(nn.Module):
         x = img[..., :4] if self.use_pe else rgb
         x, hw = PatchEmbed(self.embed_dims, self.patch_size,
                            name="patch_embed")(x)
+        if self.use_abs_pos_embed:
+            gh, gw = self.pretrain_grid or hw
+            table = self.param("absolute_pos_embed", trunc_normal_init,
+                               (1, gh, gw, self.embed_dims))
+            if (gh, gw) != tuple(hw):
+                from gedepth_tpu.ops.resize import resize_bilinear
+                table = resize_bilinear(table, hw, align_corners=False)
+            x = x + table.reshape(1, hw[0] * hw[1], self.embed_dims)
 
         total_depth = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_depth).tolist()

@@ -86,16 +86,51 @@ def save_params_only(path: str, params, batch_stats=None):
     np.savez(path, **flat)
 
 
+def _unflatten_npz(data, prefix: str) -> dict:
+    tree: dict = {}
+    for key in data.files:
+        if not key.startswith(prefix):
+            continue
+        parts = key[len(prefix):].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = data[key]
+    return tree
+
+
 def load_params_only(path: str, params_template, batch_stats_template=None):
-    """Load a save_params_only npz back into pytrees shaped like templates."""
+    """Load a save_params_only npz back into pytrees shaped like templates.
+
+    The Swin backbone's param layout (per-block `stage{i}_block{d}` vs the
+    scanned `stage{i}_pairs` stacks — ModelConfig.swin_scan) is adapted
+    automatically: a checkpoint written under either layout loads into a
+    model built with the other (mirrors the reference's ability to load the
+    same state dict regardless of runtime wrapping)."""
+    from gedepth_tpu.models.swin import adapt_swin_layout
+
     data = np.load(path)
 
     def fill(template, prefix):
+        src = _unflatten_npz(data, prefix)
+        if (isinstance(src.get("backbone"), dict)
+                and isinstance(template, dict)
+                and isinstance(template.get("backbone"), dict)):
+            src = dict(src)
+            src["backbone"] = adapt_swin_layout(src["backbone"],
+                                                template["backbone"])
+
         def get(kp, leaf):
-            key = prefix + "/".join(getattr(p, "key", str(p)) for p in kp)
-            arr = data[key]
-            assert arr.shape == leaf.shape, (key, arr.shape, leaf.shape)
-            return jax.numpy.asarray(arr, leaf.dtype)
+            node = src
+            for p in kp:
+                key = getattr(p, "key", str(p))
+                if not isinstance(node, dict) or key not in node:
+                    raise KeyError(
+                        f"{path}: missing "
+                        f"{prefix + '/'.join(getattr(q, 'key', str(q)) for q in kp)}")
+                node = node[key]
+            assert node.shape == leaf.shape, (kp, node.shape, leaf.shape)
+            return jax.numpy.asarray(node, leaf.dtype)
         return jax.tree_util.tree_map_with_path(get, template)
 
     params = fill(params_template, "params/")

@@ -299,6 +299,45 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_swin_layout_adaptation(tmp_path):
+    """A per-block npz loads into a swin_scan model (and vice versa) with
+    identical eval outputs — the layout is adapted on load, so the compat
+    preset can enable swin_scan without breaking converted checkpoints."""
+    from gedepth_tpu.train.checkpoint import (save_params_only,
+                                              load_params_only)
+    kw = dict(pe_variant="adaptive", embed_dims=16, depths=(2, 2),
+              num_heads=(1, 2), neck_channels=(16, 16, 32),
+              neck_embed_dim=32, neck_num_points=2, drop_path_rate=0.0)
+    loop = GEDepth(swin_scan=False, **kw)
+    scan = GEDepth(swin_scan=True, **kw)
+    batch = _batch(2)
+    img = jnp.asarray(batch["img"])
+    ch = jnp.asarray(batch["cam_height"])
+
+    v_loop = loop.init(jax.random.PRNGKey(0), img, ch)
+    save_params_only(str(tmp_path / "perblock.npz"), v_loop["params"],
+                     v_loop.get("batch_stats", {}))
+
+    v_scan_tmpl = scan.init(jax.random.PRNGKey(1), img, ch)
+    p_scan, s_scan = load_params_only(str(tmp_path / "perblock.npz"),
+                                      v_scan_tmpl["params"],
+                                      v_scan_tmpl.get("batch_stats", {}))
+    out_a = loop.apply(v_loop, img, ch, method=loop.predict_depth)
+    out_b = scan.apply({"params": p_scan, "batch_stats": s_scan}, img, ch,
+                       method=scan.predict_depth)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               rtol=1e-5, atol=1e-5)
+
+    # reverse direction: stacked npz -> per-block model
+    save_params_only(str(tmp_path / "stacked.npz"), p_scan, s_scan)
+    p_back, s_back = load_params_only(str(tmp_path / "stacked.npz"),
+                                      v_loop["params"],
+                                      v_loop.get("batch_stats", {}))
+    for a, b in zip(jax.tree.leaves(p_back),
+                    jax.tree.leaves(v_loop["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_spatial_sharding_matches_replicated():
     """GSPMD width-axis sharding of the eval forward == replicated run."""
     from jax.sharding import NamedSharding, PartitionSpec as P

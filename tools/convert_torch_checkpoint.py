@@ -70,6 +70,18 @@ def main():
             pad_patch_embed_for_pe(converted_params)
         except KeyError:
             pass
+    if "backbone" in converted_params and "backbone" in variables["params"]:
+        # match the model's Swin param layout (per-block vs scanned pairs)
+        from gedepth_tpu.models.swin import adapt_swin_layout
+        from gedepth_tpu.convert.torch_to_jax import resize_swin_pos_tables
+        converted_params["backbone"] = adapt_swin_layout(
+            converted_params["backbone"], variables["params"]["backbone"])
+        # window-size adaptation: rel-pos-bias tables bicubically resized,
+        # absolute_pos_embed re-gridded (reference depthformer_swin.py:
+        # 1078-1111) — lets an official window-12/384 checkpoint load into
+        # the window-7 model
+        resize_swin_pos_tables(converted_params["backbone"],
+                               variables["params"]["backbone"])
 
     params, missing_p = _merge_into(variables["params"], converted_params)
     stats, missing_s = _merge_into(variables.get("batch_stats", {}),
