@@ -102,6 +102,15 @@ def _lin_w(v):
     return np.transpose(v, (1, 0))
 
 
+def _abs_pos_embed(v):
+    if v.ndim == 4:  # reference-model layout (1, C, H, W)
+        return np.transpose(v, (0, 2, 3, 1))
+    n, L, c = v.shape  # official layout (1, L, C); square pretrain grid
+    s = int(round(L ** 0.5))
+    assert s * s == L, f"non-square absolute_pos_embed (L={L})"
+    return v.reshape(n, s, s, c)
+
+
 def _hrnet_cbn(base, kind, leaf):
     """Leaf of a flax _ConvBN ('conv'/'bn' submodules) from a torch
     conv/bn pair (mmcv Sequential or named conv{n}/bn{n})."""
@@ -327,6 +336,13 @@ def _map_torch_key(k: str, hrnet: bool = False, ddrnet: bool = False):
     if k.startswith("backbone.original_model."):
         return _map_timm_effnet_key(k)
     # ---- backbone ----
+    if k == "backbone.absolute_pos_embed":
+        # official (1, L, C) or reference-model (1, C, H, W) -> our NHWC
+        # (1, H, W, C) grid (reference reshape at depthformer_swin.py:
+        # 1078-1086; size mismatches handled later by
+        # resize_swin_pos_tables)
+        return [("params", ("backbone", "absolute_pos_embed"),
+                 _abs_pos_embed)]
     m = re.match(r"backbone\.patch_embed\.projection\.(weight|bias)$", k)
     if m:
         t = _conv_w if m.group(1) == "weight" else None
@@ -850,6 +866,94 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
             node[path[-1]] = np.asarray(
                 transform(v) if transform else v)
     return params, stats, unmapped
+
+
+def _cubic_weights(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel (Keys), torch's a=-0.75 variant."""
+    t = np.abs(t)
+    w = np.where(
+        t <= 1, (a + 2) * t**3 - (a + 3) * t**2 + 1,
+        np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0))
+    return w
+
+
+def _bicubic_axis_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) interpolation matrix reproducing torch
+    F.interpolate(mode='bicubic', align_corners=False) along one axis
+    (half-pixel centers, 4-tap cubic a=-0.75, replicate border)."""
+    scale = n_in / n_out
+    dst = np.arange(n_out, dtype=np.float64)
+    src = (dst + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int64)
+    frac = src - base
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    for k in range(-1, 3):
+        idx = np.clip(base + k, 0, n_in - 1)
+        w = _cubic_weights(frac - k)
+        np.add.at(mat, (np.arange(n_out), idx), w)
+    return mat
+
+
+def bicubic_resize_torch(img: np.ndarray, out_hw) -> np.ndarray:
+    """Separable torch-parity bicubic resize of (..., H, W) arrays
+    (align_corners=False). Matches torch.nn.functional.interpolate
+    within float tolerance — tests/test_convert_interp.py."""
+    h2, w2 = out_hw
+    mh = _bicubic_axis_matrix(img.shape[-2], h2)
+    mw = _bicubic_axis_matrix(img.shape[-1], w2)
+    out = np.einsum("oh,...hw->...ow", mh, img.astype(np.float64))
+    out = np.einsum("ow,...hw->...ho", mw, out)
+    return out.astype(img.dtype)
+
+
+def resize_swin_pos_tables(converted_backbone: dict,
+                           template_backbone: dict) -> dict:
+    """Window-size adaptation of converted Swin position tables (reference
+    depthformer_swin.py:1078-1111).
+
+    * Every `relative_position_bias_table` leaf (L1, nH) whose L1 differs
+      from the template's L2 is bicubically resized through its
+      (2w-1, 2w-1) grid — torch-parity kernel, so an official window-12
+      checkpoint loads into a window-7 model exactly as the reference
+      would load it. Handles both the per-block (L, nH) and the scanned
+      stacked (P, L, nH) layouts.
+    * `absolute_pos_embed` (1, gh, gw, C) is bicubically resized to the
+      template grid on mismatch (the reference warns-and-skips there; we
+      resize — documented conscious fix, models/swin.py use_abs_pos_embed).
+    Mutates and returns converted_backbone.
+    """
+    def walk(node, tmpl):
+        if not isinstance(node, dict) or not isinstance(tmpl, dict):
+            return
+        for k, v in node.items():
+            t = tmpl.get(k)
+            if t is None:
+                continue
+            if isinstance(v, dict):
+                walk(v, t)
+                continue
+            if k == "relative_position_bias_table" and v.shape != t.shape:
+                if v.shape[-1] != t.shape[-1]:
+                    continue  # head-count mismatch: reference warns+skips
+                s1 = int(round(v.shape[-2] ** 0.5))
+                s2 = int(round(t.shape[-2] ** 0.5))
+                if s1 * s1 != v.shape[-2] or s2 * s2 != t.shape[-2]:
+                    continue
+                nh = v.shape[-1]
+                lead = v.shape[:-2]
+                grid = np.moveaxis(
+                    v.reshape(lead + (s1, s1, nh)), -1, -3)  # (..., nH, S, S)
+                grid = bicubic_resize_torch(grid, (s2, s2))
+                node[k] = np.moveaxis(grid, -3, -1).reshape(
+                    lead + (s2 * s2, nh))
+            elif k == "absolute_pos_embed" and v.shape != t.shape:
+                if v.shape[-1] != t.shape[-1]:
+                    continue
+                grid = np.moveaxis(v, -1, -3)  # (1, C, gh, gw)
+                grid = bicubic_resize_torch(grid, t.shape[1:3])
+                node[k] = np.moveaxis(grid, -3, -1)
+    walk(converted_backbone, template_backbone)
+    return converted_backbone
 
 
 def pad_patch_embed_for_pe(params: dict) -> dict:
