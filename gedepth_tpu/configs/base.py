@@ -119,6 +119,10 @@ class DataConfig:
     # epoch lengthening: wrap the train dataset in RepeatDataset
     # (reference dataset_wrappers.py / configs' RepeatDataset times=...)
     repeat_times: int = 1
+    # NYU: derive per-sample scene-class labels from the split paths
+    # (reference nyu_binsformer.py:98-105; the BinsFormer class-CE loss
+    # consumes them)
+    scene_classes: bool = False
     # synthetic fallback
     synthetic_size: int = 64
 
@@ -134,6 +138,22 @@ class OptimConfig:
     grad_clip_norm: float = 35.0
     sig_loss_weight: float = 1.0
     slope_ce_weight: float = 0.08
+    # ---- zoo loss composition (reference _base_/models/*.py) ----
+    # BinsFormer aux supervision: SigLoss (and chamfer when enabled) on
+    # decoder layers aux_loss_indices with these weights, on top of the
+    # final layer's full loss (binsformer.py train_cfg aux_index=[2,5],
+    # aux_weight=[1/4, 1/2])
+    aux_loss_indices: Tuple[int, ...] = ()
+    aux_loss_weights: Tuple[float, ...] = ()
+    # scene-classification CE on the class query (binsformer.py
+    # loss_class weight 1e-2; needs batch['scene_class'] — NYUDataset
+    # scene_classes=True). NOTE: the reference's own aux-layer classify
+    # branch is dead debug code (binsformer_head.py:370-371 embed()/exit()
+    # would crash) — we implement what the config declares.
+    class_ce_weight: float = 0.0
+    # AdaBins/BinsFormer bin-center chamfer (chamferloss.py; binsformer
+    # ships it OFF: with_loss_chamfer=False, weight 1e-1)
+    chamfer_weight: float = 0.0
 
 
 @dataclass(frozen=True)

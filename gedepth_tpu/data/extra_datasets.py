@@ -68,9 +68,24 @@ class NYUDataset(_SplitDataset):
     have no ground-plane prior)."""
 
     def __init__(self, data_root, split, depth_scale=1000.0, test_mode=False,
-                 min_depth=1e-3, max_depth=10.0):
+                 min_depth=1e-3, max_depth=10.0, scene_classes=False):
         super().__init__(data_root, split, depth_scale, test_mode,
                          min_depth, max_depth, eigen_crop=True)
+        self.scene_classes = scene_classes
+        if scene_classes and not test_mode:
+            # scene label = first path component's prefix before '_'
+            # (reference nyu_binsformer.py:98-105). Label ids are assigned
+            # in sorted-filename order here (deterministic); the reference
+            # assigns in raw split-file order — the mapping is an arbitrary
+            # permutation either way (ids feed a classification CE only).
+            class_dict: dict = {}
+            for info in self.infos:
+                name = info["filename"].lstrip("/").split("/")[0]
+                cls = name.split("_")[0]
+                if cls not in class_dict:
+                    class_dict[cls] = len(class_dict)
+                info["scene_class"] = class_dict[cls]
+            self.scene_class_names = list(class_dict)
 
     def load_gt(self, idx):
         return np.asarray(Image.open(self._abs(self.infos[idx]["depth_map"])),
@@ -83,6 +98,8 @@ class NYUDataset(_SplitDataset):
                   "cam_height": np.float32(0.0)}
         if not self.test_mode and info["depth_map"] is not None:
             sample["depth_gt"] = self.load_gt(idx)
+        if "scene_class" in info:
+            sample["scene_class"] = np.int32(info["scene_class"])
         return sample
 
 

@@ -25,7 +25,8 @@ def _stack_batch(samples, keys=None):
     return batch
 
 
-_BATCH_KEYS_TRAIN = ("img", "depth_gt", "pe_k_gt", "cam_height", "index")
+_BATCH_KEYS_TRAIN = ("img", "depth_gt", "pe_k_gt", "cam_height", "index",
+                     "scene_class")
 _BATCH_KEYS_EVAL = ("img", "cam_height", "index")
 
 
@@ -123,16 +124,25 @@ class EvalLoader:
     Yields (batch, valid) where valid marks real rows (padding repeats the
     last sample so shapes stay static for jit; padded rows are dropped from
     metric aggregation by the caller via batch['index']).
+
+    shard_index / shard_count: multi-host eval — this process evaluates the
+    strided subset ``range(shard_index, len(dataset), shard_count)`` (the
+    reference's DistributedSampler split, depth/apis/test.py:148-232); the
+    caller allgathers per-image metrics across processes afterwards.
     """
 
-    def __init__(self, dataset, pipeline, batch_size, prefetch=2):
+    def __init__(self, dataset, pipeline, batch_size, prefetch=2,
+                 shard_index=0, shard_count=1):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
         self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.shard_count = shard_count
+        self._indices = list(range(shard_index, len(dataset), shard_count))
 
     def __len__(self):
-        return -(-len(self.dataset) // self.batch_size)
+        return -(-len(self._indices) // self.batch_size)
 
     def __iter__(self):
         """Batches are prepared on a background thread (queue depth
@@ -159,10 +169,10 @@ class EvalLoader:
             yield item
 
     def _make_batches(self):
-        n = len(self.dataset)
+        n = len(self._indices)
         rng = np.random.default_rng(0)  # eval transforms must be deterministic
         for start in range(0, n, self.batch_size):
-            idxs = list(range(start, min(start + self.batch_size, n)))
+            idxs = self._indices[start:min(start + self.batch_size, n)]
             valid = np.zeros(self.batch_size, dtype=bool)
             valid[:len(idxs)] = True
             while len(idxs) < self.batch_size:

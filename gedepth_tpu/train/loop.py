@@ -120,10 +120,12 @@ def build_datasets(cfg: ExperimentConfig):
         from gedepth_tpu.data import SUNRGBDDataset, NuScenesDataset
         cls = {"nyu": NYUDataset, "sunrgbd": SUNRGBDDataset,
                "nuscenes": NuScenesDataset}[d.dataset]
+        extra = ({"scene_classes": True}
+                 if d.dataset == "nyu" and d.scene_classes else {})
         train = cls(d.data_root, d.train_split,
                     depth_scale=d.gt_depth_scale,
                     min_depth=cfg.model.min_depth,
-                    max_depth=cfg.model.max_depth)
+                    max_depth=cfg.model.max_depth, **extra)
         test = cls(d.data_root, d.test_split,
                    depth_scale=d.gt_depth_scale, test_mode=True,
                    min_depth=cfg.model.min_depth,
@@ -171,14 +173,32 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
           max_iters: Optional[int] = None, eval_max_images: Optional[int] = None,
           resume_state=None, load_backbone_from: Optional[str] = None,
           resume_from: Optional[str] = None):
-    """Run training; returns (state, best_metrics)."""
+    """Run training; returns (state, best_metrics).
+
+    Multi-host (after jax.distributed.initialize, tools/train.py
+    --multihost): every process runs this same function — the TrainLoader
+    materialises only this process's batch rows, eval shards the test split
+    across processes (per-image metrics allgathered), and file outputs
+    (JSONL/TB/best-npz) are written by process 0 only. Orbax checkpoint
+    saves stay collective (every process calls save; orbax coordinates the
+    writes). Mirrors the reference's DistributedSampler + rank-0 hooks
+    (depth/datasets/builder.py:123-125, depth/apis/train.py)."""
+    is_main = jax.process_index() == 0
     work_dir = work_dir or osp.join(cfg.work_dir, cfg.name)
     os.makedirs(work_dir, exist_ok=True)
-    logger = JsonlLogger(osp.join(work_dir, "train.log.jsonl"))
     from gedepth_tpu.utils.tensorboard import TensorboardLogger
     from gedepth_tpu.utils.env import collect_env
-    tb = TensorboardLogger(osp.join(work_dir, "tb"))
-    logger.log({"mode": "env", **{k: str(v) for k, v in collect_env().items()}})
+    if is_main:
+        logger = JsonlLogger(osp.join(work_dir, "train.log.jsonl"))
+        tb = TensorboardLogger(osp.join(work_dir, "tb"))
+        logger.log({"mode": "env",
+                    **{k: str(v) for k, v in collect_env().items()}})
+    else:  # non-main processes: no file writes, no duplicate logs
+        class _Null:
+            def log(self, *a, **k): pass
+
+            def scalars(self, *a, **k): pass
+        logger = tb = _Null()
     max_iters = max_iters or cfg.train.max_iters
 
     model = cfg.model.build()
@@ -186,6 +206,8 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
     pipeline = build_train_pipeline(cfg)
     loader = TrainLoader(train_ds, pipeline, cfg.train.global_batch,
                          seed=cfg.train.seed,
+                         shard_index=jax.process_index(),
+                         shard_count=jax.process_count(),
                          num_workers=cfg.train.num_workers)
 
     mesh = create_mesh_for_batch(cfg.train.global_batch)
@@ -205,8 +227,9 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
     if resume_from:
         from gedepth_tpu.train.checkpoint import restore_checkpoint
         state = restore_checkpoint(resume_from, state)
-        print(f"resumed from {resume_from} at iter {int(state.step)}",
-              flush=True)
+        if is_main:
+            print(f"resumed from {resume_from} at iter "
+                  f"{int(state.step)}", flush=True)
     if load_backbone_from:
         # stage-1 ground-mask pretrain overlay (the reference hardcodes
         # pretrain/pe_checkpoint.pth at tools/train.py:65-81; we make it
@@ -217,11 +240,22 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             load_backbone_from, {"backbone": state.params["backbone"]})
         state = state.replace(
             params=overlay_backbone(state.params, src))
-        print(f"overlaid backbone from {load_backbone_from}", flush=True)
+        if is_main:
+            print(f"overlaid backbone from {load_backbone_from}", flush=True)
 
-    if getattr(model, "arch", "") == "seg":
+    from gedepth_tpu.models.zoo import ZOO_ARCHS
+    from gedepth_tpu.train.steps import make_zoo_train_step
+    arch = getattr(model, "arch", "")
+    if arch == "seg":
         train_step = make_seg_train_step(model, cfg.model.depth_scale)
         evaluator = SegEvaluator(model, test_ds, cfg.data)
+    elif arch in ZOO_ARCHS:
+        train_step = make_zoo_train_step(
+            model, cfg.optim.sig_loss_weight,
+            cfg.optim.aux_loss_indices, cfg.optim.aux_loss_weights,
+            cfg.optim.class_ce_weight, cfg.optim.chamfer_weight,
+            bf16=cfg.train.bf16_compute)
+        evaluator = Evaluator(model, test_ds, cfg.data)
     else:
         train_step = make_train_step(
             model, cfg.optim.sig_loss_weight, cfg.optim.slope_ce_weight,
@@ -259,8 +293,9 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             t_last = time.time()
             logger.log(m)
             tb.scalars(it + 1, m, prefix="train/")
-            print(f"iter {it+1}/{max_iters} loss={m['loss']:.4f} "
-                  f"lr={m['lr']:.2e}", flush=True)
+            if is_main:
+                print(f"iter {it+1}/{max_iters} loss={m['loss']:.4f} "
+                      f"lr={m['lr']:.2e}", flush=True)
 
         is_last = (it + 1) == max_iters
         if (it + 1) % cfg.train.eval_interval == 0 or is_last:
@@ -270,15 +305,21 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
             agg_rec.update(iter=it + 1, mode="val")
             logger.log(agg_rec)
             tb.scalars(it + 1, agg_rec, prefix="val/")
-            print(f"eval @ {it+1}: " + " ".join(
-                f"{k}={agg[k]:.4f}" for k in (key, "rmse", "acc")
-                if k in agg), flush=True)
+            if is_main:
+                print(f"eval @ {it+1}: " + " ".join(
+                    f"{k}={agg[k]:.4f}" for k in (key, "rmse", "acc")
+                    if k in agg), flush=True)
             if sign * agg[key] < sign * best.get(key, float("inf")):
+                # eval metrics are allgathered, so `best` stays identical on
+                # every process; only process 0 writes the npz
                 best = dict(agg_rec)
-                save_params_only(osp.join(work_dir, f"best_{key}.npz"),
-                                 state.params, state.batch_stats)
+                if is_main:
+                    save_params_only(osp.join(work_dir, f"best_{key}.npz"),
+                                     state.params, state.batch_stats)
 
         if (it + 1) % cfg.train.checkpoint_interval == 0 or is_last:
+            # orbax saves are COLLECTIVE in multi-host runs: every process
+            # must call save(); orbax routes the actual writes
             if keeper is None:
                 keeper = CheckpointKeeper(osp.join(work_dir, "ckpts"),
                                           cfg.train.max_keep_ckpts)

@@ -88,6 +88,102 @@ def make_train_step(model, sig_loss_weight: float = 1.0,
     return train_step
 
 
+def make_zoo_train_step(model, sig_loss_weight: float = 10.0,
+                        aux_loss_indices=(), aux_loss_weights=(),
+                        class_ce_weight: float = 0.0,
+                        chamfer_weight: float = 0.0,
+                        donate: bool = True, bf16: bool = False):
+    """Train step for the toolbox model zoo (ZooDepther archs).
+
+    Loss composition per the reference `_base_/models/*.py` configs:
+      * SigLoss * sig_loss_weight on the final depth (10 for adabins/
+        binsformer/dpt, 1.0 for bts/densedepth);
+      * BinsFormer aux supervision: SigLoss (and chamfer when enabled) on
+        decoder layers `aux_loss_indices` scaled by `aux_loss_weights`
+        (binsformer.py train_cfg aux_index=[2,5], aux_weight=[1/4,1/2]);
+      * scene-class CE * class_ce_weight on the class-query logits when the
+        batch carries 'scene_class' (binsformer.py loss_class 1e-2). The
+        reference's aux-layer classify branch is dead debug code
+        (binsformer_head.py:370-371 calls embed()/exit()); we apply the CE
+        at the final layer only, which is what its main-loss path does;
+      * bin-center chamfer * chamfer_weight (chamferloss.py; the shipped
+        binsformer config declares it OFF).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        from gedepth_tpu.models.losses_extra import bins_chamfer_loss
+
+        apply_params = params
+        img = batch["img"]
+        if bf16:
+            apply_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            img = img.astype(jnp.bfloat16)
+        variables = {"params": apply_params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out, mutated = model.apply(
+            variables, img, batch.get("cam_height"), True,
+            rngs={"dropout": rng}, mutable=mutable)
+        new_stats = mutated.get("batch_stats", batch_stats)
+        if bf16 and new_stats:
+            new_stats = jax.tree.map(lambda new, old: new.astype(old.dtype),
+                                     new_stats, batch_stats)
+
+        gt = batch["depth_gt"][..., None]
+
+        def depth_loss(d):
+            d = resize_bilinear(d.astype(jnp.float32), gt.shape[1:3],
+                                align_corners=True)
+            return sig_loss_weight * sigloss(d, gt)
+
+        metrics = {}
+        total = metrics["loss_depth"] = depth_loss(out["depth"])
+        if chamfer_weight and out.get("bin_edges") is not None:
+            lc = chamfer_weight * bins_chamfer_loss(
+                out["bin_edges"].astype(jnp.float32), batch["depth_gt"],
+                min_depth=model.min_depth, loss_weight=1.0)
+            metrics["loss_chamfer"] = lc
+            total = total + lc
+        if (class_ce_weight and out.get("class_logits") is not None
+                and "scene_class" in batch):
+            logits = out["class_logits"].astype(jnp.float32)
+            nll = -jax.nn.log_softmax(logits, axis=-1)
+            labels = batch["scene_class"].astype(jnp.int32)
+            lce = class_ce_weight * jnp.mean(
+                jnp.take_along_axis(nll, labels[:, None], axis=1))
+            metrics["loss_ce"] = lce
+            total = total + lce
+        aux = out.get("aux_layer_outs") or []
+        for idx, w in zip(aux_loss_indices, aux_loss_weights):
+            if idx >= len(aux):
+                continue
+            la = w * depth_loss(aux[idx]["depth"])
+            if chamfer_weight and aux[idx].get("bin_edges") is not None:
+                la = la + w * chamfer_weight * bins_chamfer_loss(
+                    aux[idx]["bin_edges"].astype(jnp.float32),
+                    batch["depth_gt"], min_depth=model.min_depth,
+                    loss_weight=1.0)
+            metrics[f"aux_loss_depth_{idx}"] = la
+            total = total + la
+        metrics["loss"] = total
+        return total, (new_stats, metrics)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state, batch, rng):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        metrics["grad_norm"] = optax_global_norm(grads)
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, metrics
+
+    return train_step
+
+
 def ground_mask_labels(img, depth_gt, depth_scale: float):
     """Ground-mask classes from the PE prior vs lidar GT, in-jit
     (reference loading.py:337-351 mask semantics, same formula as
