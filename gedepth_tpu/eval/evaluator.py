@@ -20,7 +20,36 @@ import numpy as np
 
 from gedepth_tpu.core.metrics import (
     masked_metrics, aggregate_metrics, eval_kb_crop, eval_crop_mask,
-    calculate_metrics)
+    calculate_metrics, METRIC_NAMES)
+
+
+def allgather_per_image(per_image):
+    """Concatenate per-image metric tuples across processes.
+
+    The multi-host analogue of the reference's collect_results_cpu
+    (depth/apis/test.py:227-231), without the tmpdir/pickle dance: each
+    process NaN-pads its (n_local, 9) metric rows to the max local count,
+    one `process_allgather` moves them over the ICI/DCN fabric, and the
+    padding rows are dropped on every host. All processes return the same
+    full list (no rank-0-only results — callers don't need a broadcast)."""
+    from jax.experimental import multihost_utils
+
+    width = len(per_image[0]) if per_image else len(METRIC_NAMES)
+    arr = np.asarray(per_image, np.float32).reshape(-1, width)
+    counts = np.asarray(multihost_utils.process_allgather(
+        np.asarray([arr.shape[0]], np.int32))).reshape(-1)
+    maxn = int(counts.max())
+    if maxn == 0:
+        return []
+    pad = np.full((maxn - arr.shape[0], width), np.nan, np.float32)
+    gathered = np.asarray(multihost_utils.process_allgather(
+        np.concatenate([arr, pad], axis=0)))
+    gathered = gathered.reshape(-1, maxn, width)
+    rows = []
+    for p, cnt in enumerate(counts):
+        for r in gathered[p][:int(cnt)]:
+            rows.append(tuple(float(x) for x in r))
+    return rows
 from gedepth_tpu.data import (
     Compose, KBCrop, Normalize, DDADResize, EvalLoader)
 from gedepth_tpu.ops.resize import resize_bilinear
@@ -57,13 +86,20 @@ class SegEvaluator:
     key_metric = "miou"
     rule = "greater"
 
-    def __init__(self, model, dataset, data_cfg, batch_size=1):
+    def __init__(self, model, dataset, data_cfg, batch_size=1,
+                 process_index=None, process_count=None):
+        import jax
+
         self.model = model
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.batch_size = batch_size
         self.pipeline = build_test_pipeline(data_cfg)
         self.depth_scale = 250.0 if data_cfg.dataset == "ddad" else 200.0
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
 
     def run(self, params, batch_stats, max_images=None, progress=None,
             on_prediction=None, compute_metrics=True):
@@ -80,12 +116,20 @@ class SegEvaluator:
             out = model.apply(variables, img, ch, False)
             return jnp.argmax(out["seg_logits"][-1], axis=-1)
 
+        multihost = self.process_count > 1
+        if multihost:
+            params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                  params)
+            batch_stats = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                       batch_stats)
         n_cls = self.model.num_classes
         inter = np.zeros(n_cls)
         union = np.zeros(n_cls)
         correct = total = 0
         done = 0
-        loader = EvalLoader(self.dataset, self.pipeline, self.batch_size)
+        loader = EvalLoader(self.dataset, self.pipeline, self.batch_size,
+                            shard_index=self.process_index if multihost else 0,
+                            shard_count=self.process_count if multihost else 1)
         for batch, valid in loader:
             preds = np.asarray(seg_step(
                 params, batch_stats, jnp.asarray(batch["img"]),
@@ -122,6 +166,17 @@ class SegEvaluator:
                     break
             if max_images is not None and done >= max_images:
                 break
+        if multihost:
+            # sum the confusion counts across processes (the seg analogue
+            # of collect_results_cpu); every process returns the same agg
+            from jax.experimental import multihost_utils
+            packed = np.concatenate(
+                [inter, union, [correct, total]]).astype(np.float64)
+            packed = np.asarray(
+                multihost_utils.process_allgather(packed)).reshape(
+                    self.process_count, -1).sum(axis=0)
+            inter, union = packed[:n_cls], packed[n_cls:2 * n_cls]
+            correct, total = packed[-2], packed[-1]
         iou = inter / np.maximum(union, 1)
         agg = {"miou": float(iou.mean()),
                "acc": float(correct / max(total, 1))}
@@ -136,7 +191,8 @@ class Evaluator:
 
     def __init__(self, model, dataset, data_cfg, batch_size=1,
                  flip_tta=None, ms_ratios=(), device_metrics=False,
-                 bf16=False, mode=None, slide_tile=None, slide_stride=None):
+                 bf16=False, mode=None, slide_tile=None, slide_stride=None,
+                 data_mesh=None, process_index=None, process_count=None):
         """ms_ratios: extra multi-scale TTA ratios (reference --aug-test);
         the predictions of every ratio (each at base resolution, each
         flip-averaged when flip TTA is on) are averaged uniformly —
@@ -156,12 +212,35 @@ class Evaluator:
         declared-but-NotImplemented test_cfg mode, encoder_decoder.py:
         218-222) with window `slide_tile` and step `slide_stride`
         (defaults: the config's train crop size / half of it); overlaps
-        are averaged. Incompatible with ms_ratios."""
+        are averaged. Incompatible with ms_ratios.
+
+        data_mesh: a 1-D local-device Mesh — eval batches shard over its
+        data axis so a full-split eval uses every chip (batch_size must be
+        a multiple of the mesh size); identical metrics to the
+        single-device path, tests/test_multidevice_eval.py.
+
+        process_index / process_count: multi-host eval — this process runs
+        the strided dataset shard and `run` allgathers per-image metric
+        rows across processes before aggregation (the reference's
+        multi_gpu_test + collect_results_cpu, depth/apis/test.py:148-232).
+        Defaults to jax.process_index()/process_count() so multi-host runs
+        shard automatically; pass 0/1 to force a full local eval."""
+        import jax
+
         self.model = model
         self.dataset = dataset
         self.data_cfg = data_cfg
         self.batch_size = batch_size
         self.device_metrics = device_metrics
+        self.data_mesh = data_mesh
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if data_mesh is not None:
+            assert batch_size % data_mesh.devices.size == 0, (
+                f"batch_size {batch_size} must be a multiple of the eval "
+                f"mesh size {data_mesh.devices.size}")
         flip = data_cfg.eval_flip_tta if flip_tta is None else flip_tta
         mode = mode or getattr(data_cfg, "eval_mode", "whole")
         if mode == "slide":
@@ -245,18 +324,54 @@ class Evaluator:
                               eigen_crop=self.data_cfg.eigen_crop)
         return calculate_metrics(gt[mask], pred[mask])
 
+    def _finalize(self, per_image):
+        if self.process_count > 1:
+            per_image = allgather_per_image(per_image)
+        return (aggregate_metrics(per_image) if per_image else {}), per_image
+
     def run(self, params, batch_stats, max_images=None, progress=None,
             on_prediction=None, compute_metrics=True):
         """Evaluate; optionally stream predictions to `on_prediction(index,
-        pred)` (used by --show-dir / --format-only dumps)."""
+        pred)` (used by --show-dir / --format-only dumps).
+
+        Multi-host (process_count > 1): each process evaluates its strided
+        dataset shard on its own devices and the per-image metric rows are
+        allgathered at the end — all processes return the same aggregate.
+        `max_images` then bounds images PER PROCESS."""
+        import jax
         import jax.numpy as jnp
 
-        loader = EvalLoader(self.dataset, self.pipeline, self.batch_size)
+        multihost = self.process_count > 1
+        if multihost:
+            # One host fetch per eval run: params/batch_stats are replicated
+            # across the global mesh, so every process can read its local
+            # replica and re-place it on its own devices — the per-rank
+            # model replica of the reference's multi_gpu_test.
+            params = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                  params)
+            batch_stats = jax.tree.map(lambda x: jnp.asarray(np.asarray(x)),
+                                       batch_stats)
+
+        batch_sharding = None
+        if self.data_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_sharding = NamedSharding(
+                self.data_mesh, P(self.data_mesh.axis_names[0]))
+
+        loader = EvalLoader(self.dataset, self.pipeline, self.batch_size,
+                            shard_index=self.process_index if multihost else 0,
+                            shard_count=self.process_count if multihost else 1)
+        n_shard = len(loader) * self.batch_size
         per_image = []
         done = 0
         for batch, valid in loader:
             jb = {k: jnp.asarray(v) for k, v in batch.items()
                   if k in ("img", "cam_height")}
+            if batch_sharding is not None:
+                # shard the eval batch over the (local) data mesh so the
+                # full-split eval uses every chip
+                jb = {k: jax.device_put(v, batch_sharding)
+                      for k, v in jb.items()}
             # np.asarray of a jax array is a read-only view — accumulate
             # into a fresh host buffer
             preds = np.array(self.eval_steps[0](params, batch_stats, jb))
@@ -279,13 +394,12 @@ class Evaluator:
                         per_image.append(self._metrics_for(preds[row], index))
                 done += 1
                 if progress is not None and done % progress == 0:
-                    print(f"  eval {done}/{len(self.dataset)}", flush=True)
+                    print(f"  eval {done}/{n_shard}", flush=True)
                 if max_images is not None and done >= max_images:
                     if device_rows:
                         per_image.extend(
                             self._device_metrics_batch(device_rows))
-                    return (aggregate_metrics(per_image) if per_image
-                            else {}), per_image
+                    return self._finalize(per_image)
             if device_rows:
                 per_image.extend(self._device_metrics_batch(device_rows))
-        return (aggregate_metrics(per_image) if per_image else {}), per_image
+        return self._finalize(per_image)

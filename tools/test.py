@@ -48,11 +48,23 @@ def main():
                         help="dump colorized depth maps here")
     parser.add_argument("--format-only", action="store_true")
     parser.add_argument("--format-dir", default="format_results")
+    parser.add_argument("--multi-device", action="store_true",
+                        help="shard eval batches over all local devices "
+                             "(requires --batch-size to be a multiple of "
+                             "the device count)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() first; "
+                             "each process evaluates its strided dataset "
+                             "shard and metrics are allgathered (reference "
+                             "multi_gpu_test + collect_results_cpu)")
     parser.add_argument("--options", nargs="*", default=None)
     args = parser.parse_args()
 
     import numpy as np
     import jax
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from gedepth_tpu.configs import get_config
     from gedepth_tpu.train.loop import build_datasets
@@ -79,7 +91,12 @@ def main():
 
     ms_ratios = (tuple(float(r) for r in args.aug_ratios.split(","))
                  if args.aug_test else ())
+    data_mesh = None
+    if args.multi_device:
+        from gedepth_tpu.parallel import create_mesh
+        data_mesh = create_mesh(jax.local_devices())
     evaluator = Evaluator(model, test_ds, cfg.data,
+                          data_mesh=data_mesh,
                           batch_size=args.batch_size,
                           flip_tta=False if args.no_tta else None,
                           ms_ratios=ms_ratios,
