@@ -197,8 +197,18 @@ class MSDeformAttention(nn.Module):
                 ref = reference_points[:, :, None, :, None, :]
             locs = ref + offsets / jnp.asarray(normalizer)[None, None, None,
                                                            :, None, :]
+            # GEDEPTH_MSDA_EXACT_IMPL: 'per_level' (default) | 'flat'.
+            # The r01->r03 0.747->0.57 img/s regression on this exact-
+            # semantics path traced to round 2 defaulting to 'flat', which
+            # wins at half res (253 vs 382 ms) but loses at the 352x1216
+            # protocol res (0.57 vs 0.754 img/s measured r4) — TPU gather
+            # cost is locality-dependent and the flat table's index spread
+            # grows with resolution. See NOTES.md round 4.
+            import os
             out = msda_sample(levels, locs, weights,
-                              sampling=self.sampling)
+                              sampling=self.sampling,
+                              impl=os.environ.get(
+                                  "GEDEPTH_MSDA_EXACT_IMPL", "per_level"))
         out = nn.Dense(C, kernel_init=xavier_uniform_init,
                        name="output_proj")(out)
         if self.dropout > 0:
