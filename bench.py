@@ -1,20 +1,26 @@
-"""Benchmark: KITTI-eval-shape inference throughput of GEDepth-Adaptive.
+"""Benchmark: KITTI-shape inference + training throughput of GEDepth-Adaptive.
 
-Prints ONE JSON line per benchmarked config (the TPU-native flagship LAST —
-it is the headline number a single-line consumer parses):
+Prints ONE JSON line per benchmarked metric (the TPU-native flagship
+inference number LAST — it is the headline a single-line consumer parses):
 
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "fingerprint": ...}
 
-Protocol mirrors the reference's tools/benchmark.py (warmup then timed
-iters, device-synchronised) at the KITTI eval resolution 352x1216, batch 1,
-no flip TTA.
+Inference protocol mirrors the reference's tools/benchmark.py (warmup then
+timed iters, device-synchronised) at the KITTI eval resolution 352x1216,
+batch 1, no flip TTA. The train metric times the full jitted train step
+(fwd+bwd+AdamW, donated state) at the training crop 352x704, batch 2 — the
+reference's per-GPU shape (configs/depthformer/depthformer_a.py crop +
+samples_per_gpu=2).
 
-Configs benchmarked (override with BENCH_CONFIGS=comma,separated):
+Configs benchmarked (override with BENCH_CONFIGS=comma,separated; append
+":bf16" for the bf16 inference variant, prefix "train:" for a train-step
+metric, "train+bf16:" for bf16_compute mixed-precision training):
   * gedepth_adaptive_kitti        — exact mmcv-MSDA semantics (XLA flat
                                     gather); the checkpoint-parity config.
   * gedepth_adaptive_kitti_compat — reference parameter tree routed through
                                     the dense windowed Pallas sampler
-                                    (loads converted checkpoints).
+                                    (loads converted checkpoints unchanged).
   * gedepth_adaptive_kitti_tpu    — TPU-native flagship (windowed sampling,
                                     train-from-scratch parameter tree).
 The headline (last) line is the flagship at bf16 — the TPU-native
@@ -22,29 +28,95 @@ production precision (abs-rel depth delta vs f32 measured at 0.0013 on
 converted Swin-S-scale weights, tests/test_composite_deltas.py).
 
 vs_baseline: the reference publishes no throughput figures (SURVEY.md §6).
-We normalise against an assumed 10 images/sec for the PyTorch
+For inference we normalise against an assumed 10 images/sec for the PyTorch
 DepthFormer-SwinL on one A100 (same protocol), the BASELINE.json comparison
-point; adjust ASSUMED_BASELINE_FPS when a measured number lands.
+point; for training against an assumed 1.0 s/step on one A100 at the same
+per-device shape. Adjust ASSUMED_BASELINE_* when measured numbers land.
+>1.0 is better than baseline for every line.
+
+History check: each metric is compared against the newest BENCH_r*.json
+that contains it; drifts beyond 15% print a warning to stderr (finding from
+round 3: an unexplained 0.747 -> 0.57 img/s drop on the exact config went
+unnoticed for a round).
+
+The fingerprint field hashes the resolved ExperimentConfig dataclass plus
+the protocol knobs (batch/shape/sync/precision), so cross-round comparisons
+can verify config identity instead of asserting it (round-3 advisor
+finding).
 """
+import glob
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-ASSUMED_BASELINE_FPS = 10.0
+ASSUMED_BASELINE_FPS = 10.0        # A100 inference, images/sec (batch 1)
+ASSUMED_BASELINE_TRAIN_SPS = 1.0   # A100 train, steps/sec (batch 2, 352x704)
 BATCH = int(os.environ.get("BENCH_BATCH", "1"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
 ITERS = int(os.environ.get("BENCH_ITERS", "50"))
-HEIGHT, WIDTH = 352, 1216
+TRAIN_ITERS = int(os.environ.get("BENCH_TRAIN_ITERS", "20"))
+HEIGHT, WIDTH = (int(x) for x in
+                 os.environ.get("BENCH_HW", "352,1216").split(","))
+TRAIN_HEIGHT, TRAIN_WIDTH = (int(x) for x in os.environ.get(
+    "BENCH_TRAIN_HW", "352,704").split(","))
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
 DEFAULT_CONFIGS = ("gedepth_adaptive_kitti,"
                    "gedepth_adaptive_kitti_compat,"
+                   "gedepth_adaptive_kitti_compat:bf16,"
+                   "train:gedepth_adaptive_kitti_tpu,"
+                   "train+bf16:gedepth_adaptive_kitti_tpu,"
                    "gedepth_adaptive_kitti_tpu,"
                    "gedepth_adaptive_kitti_tpu:bf16")
 
 
-def bench_config(name, bf16=False):
+def _fingerprint(cfg, **protocol):
+    import dataclasses
+    payload = {"config": dataclasses.asdict(cfg), "protocol": protocol}
+    blob = json.dumps(payload, sort_keys=True, default=str)
+    return hashlib.sha1(blob.encode()).hexdigest()[:10]
+
+
+def _history():
+    """metric -> (value, round) from the newest BENCH_r*.json holding it."""
+    hist = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)", path)
+        rnd = int(m.group(1)) if m else -1
+        try:
+            tail = json.load(open(path)).get("tail", "")
+        except (json.JSONDecodeError, OSError):
+            continue
+        for line in tail.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "metric" in rec and "value" in rec:
+                hist[rec["metric"]] = (rec["value"], rnd)
+    return hist
+
+
+def _emit(record, history):
+    print(json.dumps(record), flush=True)
+    prev = history.get(record["metric"])
+    if prev is not None:
+        pv, rnd = prev
+        if pv and abs(record["value"] - pv) / abs(pv) > 0.15:
+            print(f"[bench-history] WARNING: {record['metric']} = "
+                  f"{record['value']} vs {pv} in BENCH_r{rnd:02d} "
+                  f"({record['value'] / pv:.2f}x)", file=sys.stderr)
+
+
+def bench_infer(name, history, bf16=False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -103,22 +175,98 @@ def bench_config(name, bf16=False):
 
     ips = BATCH * ITERS / dt
     tag = "_bf16" if bf16 else ""
-    print(json.dumps({
-        "metric": f"{cfg.name}{tag}_swinl_352x1216_infer",
+    _emit({
+        "metric": f"{cfg.name}{tag}_swinl_{HEIGHT}x{WIDTH}_infer",
         "value": round(ips, 3),
         "unit": "images/sec",
         "vs_baseline": round(ips / ASSUMED_BASELINE_FPS, 3),
-    }), flush=True)
+        "fingerprint": _fingerprint(
+            cfg, phase="infer", batch=BATCH, hw=(HEIGHT, WIDTH),
+            bf16=bf16, sync="full" if sync_full else "scalar",
+            iters=ITERS),
+    }, history)
+
+
+def bench_train(name, history, bf16_compute=False):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from gedepth_tpu.configs import get_config
+    from gedepth_tpu.train import (make_optimizer, create_train_state,
+                                   make_train_step)
+
+    cfg = get_config(name)
+    model = cfg.model.build()
+    tx, _ = make_optimizer(cfg.optim.max_lr, cfg.train.max_iters,
+                           cfg.optim.warmup_iters)
+
+    rng = np.random.default_rng(0)
+    b, h, w = TRAIN_BATCH, TRAIN_HEIGHT, TRAIN_WIDTH
+    img = rng.standard_normal((b, h, w, 5)).astype(np.float32)
+    img[..., 4] = np.abs(img[..., 4]) * 30 + 1.0
+    depth = np.abs(rng.standard_normal((b, h, w))).astype(np.float32) * 20
+    depth[depth < 2] = 0.0
+    pe_k = rng.integers(0, 11, size=(b, h, w)).astype(np.float32)
+    batch = {"img": jnp.asarray(img), "depth_gt": jnp.asarray(depth),
+             "pe_k_gt": jnp.asarray(pe_k),
+             "cam_height": jnp.full((b,), 1.65, jnp.float32)}
+
+    state = jax.jit(lambda k: create_train_state(
+        model, tx, batch["img"], k, batch["cam_height"]),
+        static_argnums=())(jax.random.PRNGKey(0))
+    step = make_train_step(model, donate=True, bf16=bf16_compute)
+
+    key = jax.random.PRNGKey(1)
+    state, metrics = step(state, batch, key)  # compile
+    float(metrics["loss"])  # host sync
+    for _ in range(3):  # warmup
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(TRAIN_ITERS):
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])  # the loss fetch transitively syncs every step
+    dt = time.perf_counter() - t0
+
+    sps = dt / TRAIN_ITERS  # seconds per step
+    tag = "_bf16c" if bf16_compute else ""
+    _emit({
+        "metric": f"{cfg.name}{tag}_swinl_{TRAIN_HEIGHT}x{TRAIN_WIDTH}"
+                  f"_b{TRAIN_BATCH}_train",
+        "value": round(sps, 3),
+        "unit": "sec/step",
+        "vs_baseline": round(ASSUMED_BASELINE_TRAIN_SPS / sps, 3),
+        "fingerprint": _fingerprint(
+            cfg, phase="train", batch=b, hw=(h, w),
+            bf16_compute=bf16_compute, iters=TRAIN_ITERS, donate=True),
+    }, history)
 
 
 def main():
     names = os.environ.get(
         "BENCH_CONFIG",  # single-config compatibility override
         os.environ.get("BENCH_CONFIGS", DEFAULT_CONFIGS))
+    history = _history()
+    failures = []
     for name in names.split(","):
         name = name.strip()
-        bf16 = name.endswith(":bf16")
-        bench_config(name[:-5] if bf16 else name, bf16=bf16)
+        try:
+            if name.startswith("train+bf16:"):
+                bench_train(name[len("train+bf16:"):], history,
+                            bf16_compute=True)
+            elif name.startswith("train:"):
+                bench_train(name[len("train:"):], history)
+            else:
+                bf16 = name.endswith(":bf16")
+                bench_infer(name[:-5] if bf16 else name, history, bf16=bf16)
+        except Exception as e:  # one config must not kill the rest
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            failures.append((name, repr(e)))
+            print(f"[bench] FAILED {name}: {e!r}", file=sys.stderr)
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -96,7 +96,10 @@ class DropPath(nn.Module):
         rng = self.make_rng("dropout")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape)
-        return jnp.where(mask, x / keep, 0.0)
+        # divide in f32 (keep can be a traced f32 scalar) but return in
+        # x's dtype — a traced override must not promote a bf16 residual
+        # stream to f32, or the scanned-stage carry changes type mid-scan
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
 class Mlp(nn.Module):

@@ -765,7 +765,18 @@ def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
     value: (B, Hv, Wv, h, d); off/w: (B, Nq, h, P, 2) / (B, Nq, h, P);
     g: (B, Nq, h, d) upstream cotangent.
     Returns (d_off, d_w) with the input shapes.
+
+    The kernel always runs in f32: its band slices are 8-aligned (f32
+    sublane granularity) and bf16 vmem buffers need 16-aligned dynamic
+    starts Mosaic cannot prove here (bf16_compute training hit this —
+    'cannot statically prove that index in dimension 1 is a multiple of
+    8'). Inputs are cast up, the (d_off, d_w) cotangents cast back to the
+    primal dtypes; the backward accumulates in f32 regardless, so this
+    only adds the boundary casts.
     """
+    off_dtype, w_dtype = off.dtype, w.dtype
+    value = value.astype(jnp.float32)
+    g = g.astype(jnp.float32)
     B, Hv, Wv, h, d = value.shape
     Hq, Wq = query_hw
     P = w.shape[-1]
@@ -856,8 +867,9 @@ def msda_windowed_level_bwd_offw(value, off, w, g, query_hw, radius,
         x = x.reshape(B, nty * TH, ntx * TW, h, P)
         return x[:, :Hq, :Wq].reshape(B, Hq * Wq, h, P)
 
-    d_w = untile(dw_t)
-    d_off = jnp.stack([untile(dox_t), untile(doy_t)], axis=-1)
+    d_w = untile(dw_t).astype(w_dtype)
+    d_off = jnp.stack([untile(dox_t), untile(doy_t)],
+                      axis=-1).astype(off_dtype)
     return d_off, d_w
 
 

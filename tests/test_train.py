@@ -299,6 +299,25 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_bf16_train_step_with_swin_scan():
+    """Regression: bf16_compute + scanned Swin stages + active drop-path.
+    The scanned stage's carry must stay bf16 — DropPath's traced f32 rate
+    override used to promote the residual stream to f32 mid-scan (scan
+    carry type error, caught by the round-4 TPU train bench)."""
+    model = GEDepth(pe_variant="adaptive", swin_scan=True, embed_dims=16,
+                    depths=(2, 2), num_heads=(1, 2),
+                    neck_channels=(16, 16, 32), neck_embed_dim=32,
+                    neck_num_points=2, drop_path_rate=0.2)
+    batch = {k: jnp.asarray(v) for k, v in _batch(2).items()}
+    tx, _ = make_optimizer(1e-4, 100, 0)
+    state = create_train_state(model, tx, batch["img"],
+                               jax.random.PRNGKey(0), batch["cam_height"])
+    step = make_train_step(model, donate=False, bf16=True)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_checkpoint_swin_layout_adaptation(tmp_path):
     """A per-block npz loads into a swin_scan model (and vice versa) with
     identical eval outputs — the layout is adapted on load, so the compat
