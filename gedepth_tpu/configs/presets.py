@@ -51,30 +51,40 @@ _PRESETS = {
         model=ModelConfig(pe_variant="adaptive"), data=_kitti_data()),
     # TPU-native flagship: same GEDepth-Adaptive recipe with the windowed
     # deformable-attention neck (dense tiled local attention, no gathers —
-    # ops/msda.py) and scanned Swin block pairs (4x smaller HLO). This is
-    # the intended train-from-scratch production config on TPU; the
+    # ops/msda.py), scanned Swin block pairs (4x smaller HLO), and HI
+    # self-attention queries starting at transformer level 1 (the
+    # Mask2Former pixel-decoder design; finest grid stays value+lateral
+    # only). hi_min_level=1 measured +20% on-chip (13.3 -> 16.0 img/s
+    # bf16 @ 352x1216) with training dynamics indistinguishable from
+    # level 0 at two model scales (NOTES.md r3). This is the intended
+    # train-from-scratch production config on TPU; the
     # 'gedepth_adaptive_kitti' preset keeps exact mmcv-MSDA semantics for
     # converted-checkpoint parity evals.
     "gedepth_adaptive_kitti_tpu": lambda: ExperimentConfig(
         name="gedepth_adaptive_kitti_tpu",
         model=ModelConfig(pe_variant="adaptive", neck_sampling="windowed",
-                          swin_scan=True),
+                          swin_scan=True, neck_hi_min_level=1),
         data=_kitti_data()),
     # Checkpoint-compatible fast mode: the REFERENCE parameter tree
     # (learned cross-attn reference points, unscaled mmcv offset bias —
     # loads the same converted .pth state dicts as 'gedepth_adaptive_kitti')
     # routed through the dense windowed Pallas sampler by clamping each
     # sample's displacement from its query grid center to +-radius level
-    # pixels (models/hahi.py windowed_compat). Radius 8 covers the mmcv
-    # offset-bias init reach; the approximation vs the exact gather path is
-    # quantified in tests/test_composite_parity.py. swin_scan only changes
-    # the param LAYOUT (stacked pairs), not values — checkpoint loading
-    # adapts either layout automatically (swin.adapt_swin_layout).
+    # pixels (models/hahi.py windowed_compat). Radius 6 default: abs-rel
+    # delta vs the exact gather path is 4.7e-4 on converted Swin-S-scale
+    # weights and stays 4.8e-4 with sampling offsets scaled to 4x their
+    # init reach (tests/test_compat_stress.py); only an 8x-reach stress
+    # crosses 1e-3 (1.6e-3). Verify per checkpoint with
+    # models/hahi.compat_delta_px — drop to radius 4 (faster) when it
+    # clears, lift to 8 for paranoid parity (7e-4 even at 8x reach).
+    # swin_scan only changes the param LAYOUT (stacked pairs), not
+    # values — checkpoint loading adapts either layout automatically
+    # (swin.adapt_swin_layout).
     "gedepth_adaptive_kitti_compat": lambda: ExperimentConfig(
         name="gedepth_adaptive_kitti_compat",
         model=ModelConfig(pe_variant="adaptive",
                           neck_sampling="windowed_compat",
-                          neck_window_radius=8, swin_scan=True),
+                          neck_window_radius=6, swin_scan=True),
         data=_kitti_data()),
     # configs/depthformer/depthformer_v_ddad.py
     "gedepth_vanilla_ddad": lambda: ExperimentConfig(
@@ -93,7 +103,8 @@ _PRESETS = {
     "gedepth_adaptive_ddad_tpu": lambda: ExperimentConfig(
         name="gedepth_adaptive_ddad_tpu",
         model=dataclasses.replace(_ddad_model("adaptive"),
-                                  neck_sampling="windowed", swin_scan=True),
+                                  neck_sampling="windowed", swin_scan=True,
+                                  neck_hi_min_level=1),
         data=_ddad_data(),
         optim=OptimConfig(warmup_iters=0),
         train=TrainConfig(max_iters=38400, global_batch=32)),
