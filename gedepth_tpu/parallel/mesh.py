@@ -45,8 +45,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch dict, sharding axis 0 across the mesh."""
+    """Device-put a host batch dict, sharding axis 0 across the mesh.
+
+    Multi-host: each process passes only its LOCAL rows (TrainLoader
+    shard_index/shard_count) and the global array is assembled from the
+    per-process shards (the analogue of the reference's DistributedSampler
+    feeding each rank its slice, depth/datasets/builder.py:123-125)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
