@@ -275,16 +275,16 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False,
     it only ever worked for the toolbox configs; we implement what it
     intended). Each ratio is its own static shape, hence its own jit.
 
-    PE caveat: the scaled view bilinearly resizes ALL 5 channels, including
-    the geometry-derived PE planes (ch 3/4), while cam_height passes through
-    unchanged. Resizing the whole image uniformly preserves the pinhole
-    ground-plane equation only approximately (the principal point shifts by
-    <1 px from the /32 snap), so scaled views feed a slightly inconsistent
-    ground prior. Multi-ratio --aug-test is therefore validated for the
-    non-PE configs; for PE configs prefer flip-only TTA (the protocol used
-    by the reference's shipped numbers) or re-generate PE at the scaled
-    intrinsics offline.
+    PE consistency: the scaled view resamples the geometry-derived PE
+    channels EXACTLY — raw PE interpolates in inverse-depth space (1/pe is
+    affine in pixel coordinates, resize_pe_exact) and the clipped input
+    channel is recomputed from the resampled raw PE with the load-time
+    clip/normalise rule (resize_img5_scaled) — so every scaled view feeds
+    the same ground-plane prior the offline precompute would produce at
+    the scaled resolution. cam_height is scale-invariant and passes
+    through. (Flip TTA is pure reindexing; PE channels flip exactly.)
     """
+    pe_clip_scale = float(getattr(model, "depth_scale", 200.0))
 
     @jax.jit
     def eval_step(params, batch_stats, batch):
@@ -302,7 +302,7 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False,
         if ratio != 1.0:
             sh = max(32, int(round(base_hw[0] * ratio / 32)) * 32)
             sw = max(32, int(round(base_hw[1] * ratio / 32)) * 32)
-            img = resize_bilinear(img, (sh, sw), align_corners=False)
+            img = resize_img5_scaled(img, (sh, sw), pe_clip_scale)
 
         def run(im):
             out = model.apply(variables, im, ch, False)
@@ -317,6 +317,53 @@ def make_eval_step(model, flip_tta: bool = True, bf16: bool = False,
         return pred[..., 0]
 
     return eval_step
+
+
+def resize_pe_exact(pe_raw, size, bound: float = 1e6):
+    """Resample the raw plane-embedding channel EXACTLY under bilinear
+    resize, by interpolating in inverse-depth space.
+
+    The analytic ground-plane depth is pe(u, v) = c / (a·u + b·v + d)
+    (geometry/plane.py plane_embedding_from_projection), so 1/pe is AFFINE
+    in pixel coordinates and bilinear interpolation of 1/pe is exact under
+    any coordinate remap — including across the horizon line where pe
+    itself diverges (1/pe crosses zero smoothly there). Interpolating pe
+    directly (what a naive all-channel resize does) smears the divergence.
+
+    Zeros in the input are the sanitize_pe_raw NaN row on the horizon,
+    whose true inverse IS 0, so the forward map is total; outputs whose
+    inverse magnitude falls below 1/bound are re-clamped to ±bound·sign
+    (with exact 0 kept at 0), mirroring sanitize_pe_raw.
+    """
+    f32 = pe_raw.astype(jnp.float32)
+    inv = jnp.where(f32 == 0.0, 0.0, 1.0 / jnp.where(f32 == 0.0, 1.0, f32))
+    inv = resize_bilinear(inv, size, align_corners=False)
+    small = jnp.abs(inv) < (1.0 / bound)
+    pe = jnp.where(small, jnp.sign(inv) * bound,
+                   1.0 / jnp.where(small, 1.0, inv))
+    return pe.astype(pe_raw.dtype)
+
+
+def resize_img5_scaled(img, size, pe_clip_scale: float):
+    """Scale the 5-channel model input to `size` with geometry-consistent
+    PE channels (multi-scale TTA view).
+
+    RGB (ch 0-2) resizes bilinearly; raw PE (ch 4) resamples exactly in
+    inverse space (resize_pe_exact); the clipped/normalised PE input
+    (ch 3) is RECOMPUTED from the resampled raw PE with the load-time rule
+    (clip_pe_for_input + Normalize: keep (0, clip], divide by depth_scale;
+    reference loading.py:397-403 + our data/transforms.py Normalize) —
+    `pe_clip_scale` is that shared clip bound / divisor (model depth_scale:
+    200 KITTI, 250 DDAD). 3-channel inputs pass through a plain resize.
+    """
+    if img.shape[-1] != 5:
+        return resize_bilinear(img, size, align_corners=False)
+    rgb = resize_bilinear(img[..., :3], size, align_corners=False)
+    pe_raw = resize_pe_exact(img[..., 4:5], size)
+    pr = pe_raw.astype(jnp.float32)
+    pe_in = jnp.where((pr > 0) & (pr <= pe_clip_scale),
+                      pr / pe_clip_scale, 0.0).astype(img.dtype)
+    return jnp.concatenate([rgb, pe_in, pe_raw], axis=-1)
 
 
 def slide_positions(size: int, tile: int, stride: int):
