@@ -20,6 +20,10 @@ from gedepth_tpu.models.rmi_loss import rmi_loss
 from gedepth_tpu.models.experiment_heads import (
     GuidanceHead, PacConv, pixel_adaptive_conv, depth_to_normals,
     ASNDepthHead)
+from gedepth_tpu.models.asn import (
+    ASNDepthHeadV2, ASNSegHead, adaptive_depth_to_normals,
+    depth_normal_conversion, pa_gaussian_kernel, select_triangles,
+    asn_losses)
 from gedepth_tpu.models.necks_extra import (
     PEMaskNeck, DynamicPEMaskNeck, LightDynamicPEMaskNeck,
     DynamicPENeckGlobal, SkipNeck,

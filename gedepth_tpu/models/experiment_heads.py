@@ -114,8 +114,10 @@ def depth_to_normals(depth, fx: float, fy: float):
 
 class ASNDepthHead(nn.Module):
     """ASN-style head: DenseDepth decoder + guidance-modulated (PAC)
-    refinement + surface-normal auxiliary output
-    (compact form of reference ASNDepthHeadV2, asn_depth_head.py:345)."""
+    refinement + surface-normal auxiliary output — a compact form kept for
+    its decoder-integrated shape. The FULL-parity reference head
+    (triangle-sampled adaptive normals, SegHead trunks, guidance kernel)
+    is models/asn.py ASNDepthHeadV2 (reference asn_depth_head.py:345)."""
     up_sample_channels: Sequence[int]
     channels: int = 64
     min_depth: float = 1e-3
