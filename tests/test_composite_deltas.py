@@ -25,6 +25,8 @@ import jax.numpy as jnp
 sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
 import test_composite_parity as C
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 # Swin-S-ish scale (embed 64, depths (2,2,6,2)) — large enough that
 # rounding/approximation behavior is representative, small enough for a
 # CPU test. Window 4 instead of 7: the textbook torch harness has no

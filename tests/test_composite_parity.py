@@ -27,6 +27,8 @@ from gedepth_tpu.models.swin import shifted_window_mask
 from gedepth_tpu.models.hahi import _center_reference_points
 from gedepth_tpu.models.layers import sine_positional_encoding
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 # ---- test scale -----------------------------------------------------------
 H_IMG, W_IMG = 64, 128
 EMBED = 16

@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers)
+
 
 @pytest.fixture(scope="module")
 def artifact(tmp_path_factory):

@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 from PIL import Image
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 H_FULL, W_FULL = 120, 400   # "full-res" images

@@ -9,6 +9,8 @@ from gedepth_tpu.models import (
     GEDepth, DepthFormerSwin, HAHINeck, LightPEMaskNeck, DynamicPENeckSoft,
     DenseDepthHead, sigloss, softmax_ce_ignore)
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 
 TINY = dict(embed_dims=32, depths=(1, 1, 2, 1), num_heads=(1, 2, 4, 8),
             neck_channels=(64, 32, 64, 128, 256), neck_embed_dim=64,

@@ -8,6 +8,8 @@ from gedepth_tpu.models.resnet import ResNet
 from gedepth_tpu.models.adabins import AdabinsHead
 from gedepth_tpu.models.bts import BTSHead, local_planar_guidance
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 
 def test_resnet50_pyramid_shapes():
     m = ResNet(depth=50)

@@ -11,6 +11,8 @@ from gedepth_tpu.train.loop import build_datasets
 from gedepth_tpu.eval import Evaluator
 from gedepth_tpu.parallel import create_mesh
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 
 @pytest.fixture(scope="module")
 def smoke_setup():

@@ -9,6 +9,8 @@ from gedepth_tpu.models.pretrain import (
     extract_backbone, overlay_backbone)
 from gedepth_tpu.models import GEDepth
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 TINY = dict(embed_dims=16, depths=(1, 1), num_heads=(1, 2),
             neck_channels=(16, 16, 32), neck_embed_dim=32,
             neck_num_points=2, drop_path_rate=0.0)

@@ -21,8 +21,11 @@ from gedepth_tpu.parallel import (
 from gedepth_tpu.train import (
     make_optimizer, create_train_state, make_train_step)
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy: full-model jits (test tiers, NOTES r4)
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 (virtual) devices"),
+]
 
 
 def _tiny_batch(b=8, h=64, w=96):

@@ -11,6 +11,8 @@ from gedepth_tpu.train import (
 from gedepth_tpu.train.optim import decay_mask
 from gedepth_tpu.parallel import create_mesh, shard_batch, batch_sharding
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 TINY = dict(embed_dims=16, depths=(1, 1), num_heads=(1, 2),
             neck_channels=(16, 16, 32), neck_embed_dim=32,
             neck_num_points=2, drop_path_rate=0.0)

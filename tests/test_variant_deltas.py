@@ -13,11 +13,14 @@ released checkpoint when one is available (NOTES.md).
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from gedepth_tpu.configs import get_config
 from gedepth_tpu.train.steps import make_eval_step
+
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
 
 
 def _setup():

@@ -15,6 +15,8 @@ from gedepth_tpu.models.zoo import ZooDepther
 from gedepth_tpu.train import make_optimizer, create_train_state
 from gedepth_tpu.train.steps import make_zoo_train_step
 
+pytestmark = pytest.mark.slow  # compile-heavy: full-model jits (test tiers, NOTES r4)
+
 
 def _batch(b=2, h=32, w=32, with_scene=False, seed=0):
     rng = np.random.default_rng(seed)
