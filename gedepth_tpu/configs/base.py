@@ -42,6 +42,12 @@ class ModelConfig:
     # HI self-attention queries start at this transformer level
     # (hahi.py hi_min_level; train-from-scratch knob, params unchanged)
     neck_hi_min_level: int = 0
+    # remat granularity: rematerialise Swin blocks / the MSDA sampling
+    # tensors in the backward pass. Defaults trade recompute for ~100x
+    # less live activation HBM (ops/msda.py); turning either off is only
+    # viable at small crops/batches and is swept in NOTES.md.
+    swin_remat: bool = True
+    neck_msda_remat: bool = True
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -87,6 +93,8 @@ class ModelConfig:
             neck_sampling=self.neck_sampling,
             neck_window_radius=self.neck_window_radius,
             neck_hi_min_level=self.neck_hi_min_level,
+            swin_remat=self.swin_remat,
+            neck_msda_remat=self.neck_msda_remat,
             head_channels=self.head_channels,
             min_depth=self.min_depth, max_depth=self.max_depth,
             pe_variant=self.pe_variant, depth_scale=self.depth_scale,

@@ -39,6 +39,9 @@ class GEDepth(nn.Module):
     window: int = 7
     drop_path_rate: float = 0.3
     swin_scan: bool = False   # nn.scan over block pairs (compile-time win)
+    # remat granularity (backward-pass memory vs recompute trade):
+    swin_remat: bool = True        # rematerialise Swin blocks
+    neck_msda_remat: bool = True   # rematerialise MSDA sampling tensors
     # neck
     neck_channels: Sequence[int] = (64, 192, 384, 768, 1536)
     neck_embed_dim: int = 512
@@ -69,7 +72,7 @@ class GEDepth(nn.Module):
             embed_dims=self.embed_dims, depths=self.depths,
             num_heads=self.num_heads, window=self.window,
             drop_path_rate=self.drop_path_rate, use_pe=use_pe,
-            scan_pairs=self.swin_scan,
+            scan_pairs=self.swin_scan, remat=self.swin_remat,
             name="backbone")
         feats = backbone(img, train=train)
 
@@ -79,6 +82,7 @@ class GEDepth(nn.Module):
             sampling=self.neck_sampling,
             window_radius=self.neck_window_radius,
             hi_min_level=self.neck_hi_min_level,
+            msda_remat=self.neck_msda_remat,
             name="neck")(feats, train=train)
 
         y = None

@@ -105,6 +105,11 @@ class MSDeformAttention(nn.Module):
     dropout: float = 0.1
     sampling: str = "bilinear"
     window_radius: int = 4
+    # Rematerialise the sampling op's gathered/extracted tensors in the
+    # backward pass (trades one extra sampling pass for ~100x less live
+    # activation memory — see ops/msda.py msda_sample docstring). Turning
+    # it off is a remat-granularity knob for small-activation regimes.
+    msda_remat: bool = True
 
     @nn.compact
     def __call__(self, query, value, query_pos, reference_points,
@@ -182,7 +187,8 @@ class MSDeformAttention(nn.Module):
                 outs.append(msda_sample_windowed(
                     levels, off_px[:, start:start + n],
                     weights[:, start:start + n], (Hq, Wq),
-                    radius=self.window_radius, value_exts=exts))
+                    radius=self.window_radius, remat=self.msda_remat,
+                    value_exts=exts))
                 start += n
             assert start == Nq
             out = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
@@ -207,6 +213,7 @@ class MSDeformAttention(nn.Module):
             import os
             out = msda_sample(levels, locs, weights,
                               sampling=self.sampling,
+                              remat=self.msda_remat,
                               impl=os.environ.get(
                                   "GEDEPTH_MSDA_EXACT_IMPL", "per_level"))
         out = nn.Dense(C, kernel_init=xavier_uniform_init,
@@ -259,6 +266,8 @@ class HAHINeck(nn.Module):
     # this is a train-from-scratch knob for the TPU-native flagship, not a
     # drop-in eval mode.
     hi_min_level: int = 0
+    # remat granularity of the deformable sampling (see MSDeformAttention)
+    msda_remat: bool = True
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -303,7 +312,7 @@ class HAHINeck(nn.Module):
             attn = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
                 sampling=self.sampling, window_radius=self.window_radius,
-                name="self_attn")
+                msda_remat=self.msda_remat, name="self_attn")
             if lo == 0:
                 src = attn(src, src, pos, ref_self, spatial_shapes,
                            deterministic, query_shapes=spatial_shapes)
@@ -338,6 +347,7 @@ class HAHINeck(nn.Module):
             fused = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
                 sampling=self.sampling, window_radius=self.window_radius,
+                msda_remat=self.msda_remat,
                 name="cross_attn")(query, src, qpos, ref_q, spatial_shapes,
                                    deterministic, query_shapes=((Hc, Wc),))
         else:
