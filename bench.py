@@ -135,6 +135,14 @@ def bench_infer(name, history, bf16=False):
     # op-by-op over the remote-TPU tunnel (minutes); one
     # compiled (and persistently cached) init is seconds
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, cam_h)
+    if bf16:
+        # Serving semantics (matches apis.inference.init_depther(bf16=True)):
+        # params are cast ONCE and held in bf16 — casting inside the jitted
+        # forward would re-read the full f32 tree from HBM every iteration
+        # (~0.8 GB/iter for Swin-L, visible as convert fusions in traces).
+        variables = jax.jit(lambda v: jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16)
+            if t.dtype == jnp.float32 else t, v))(variables)
 
     # Sync protocol: the reference's tools/benchmark.py never copies the
     # prediction to host (torch.cuda.synchronize() only). On the axon
@@ -151,10 +159,8 @@ def bench_infer(name, history, bf16=False):
             # TPU-native precision: bf16 params/activations (measured
             # abs-rel depth delta 0.0013 on converted Swin-S-scale
             # weights, tests/test_composite_deltas.py); depth clamps and
-            # the final resize stay f32 inside predict_depth.
-            v = jax.tree.map(
-                lambda t: t.astype(jnp.bfloat16)
-                if t.dtype == jnp.float32 else t, v)
+            # the final resize stay f32 inside predict_depth. Params are
+            # already bf16 (cast once above); only the input casts here.
             x = x.astype(jnp.bfloat16)
         depth = model.apply(v, x, ch,
                             method=model.predict_depth).astype(jnp.float32)

@@ -65,6 +65,13 @@ def main():
     # op-by-op over the remote-TPU tunnel (minutes); one
     # compiled (and persistently cached) init is seconds
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, ch)
+    if args.bf16 and not args.train_step:
+        # serving semantics (apis.inference.init_depther(bf16=True)): hold
+        # the params in bf16 instead of re-casting the full f32 tree from
+        # HBM inside every jitted forward
+        variables = jax.jit(lambda v: jax.tree.map(
+            lambda t: t.astype(jnp.bfloat16)
+            if t.dtype == jnp.float32 else t, v))(variables)
 
     if args.train_step:
         from gedepth_tpu.train import (
@@ -86,9 +93,7 @@ def main():
         @jax.jit
         def forward(v, x, c_):
             if args.bf16:
-                v = jax.tree.map(
-                    lambda t: t.astype(jnp.bfloat16)
-                    if t.dtype == jnp.float32 else t, v)
+                # params already bf16 (cast once above); input casts here
                 x = x.astype(jnp.bfloat16)
             depth = model.apply(v, x, c_, method=model.predict_depth)
             # scalar sync: the checksum depends on the whole computation,
