@@ -28,11 +28,16 @@ production precision (abs-rel depth delta vs f32 measured at 0.0013 on
 converted Swin-S-scale weights, tests/test_composite_deltas.py).
 
 vs_baseline: the reference publishes no throughput figures (SURVEY.md §6).
-For inference we normalise against an assumed 10 images/sec for the PyTorch
-DepthFormer-SwinL on one A100 (same protocol), the BASELINE.json comparison
-point; for training against an assumed 1.0 s/step on one A100 at the same
-per-device shape. Adjust ASSUMED_BASELINE_* when measured numbers land.
->1.0 is better than baseline for every line.
+For inference we normalise against an estimated 10 images/sec for the
+PyTorch DepthFormer-SwinL on one A100 (same protocol); for training against
+an estimated 1.0 s/step at the same per-device shape. These constants are
+grounded in BASELINE.md ("Grounding the assumed A100 baseline"): one
+forward is 1.47 TFLOPs/image (tools/flops.py on the exact config), so
+10 img/s = 9.4% of A100 TF32 peak — the TOP of the realistic batch-1
+eager-mode band, i.e. generous to the reference. Adjust when measured
+numbers land. >1.0 is better than baseline for every line. Every line also
+carries `mfu` + `gflops_per_image` — the absolute axis (achieved FLOP/s
+over the device's dense bf16 MXU peak) that needs no A100 assumption.
 
 History check: each metric is compared against the newest BENCH_r*.json
 that contains it; drifts beyond 15% print a warning to stderr (finding from
@@ -68,6 +73,7 @@ TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
 DEFAULT_CONFIGS = ("gedepth_adaptive_kitti,"
                    "gedepth_adaptive_kitti_compat,"
                    "gedepth_adaptive_kitti_compat:bf16,"
+                   "gedepth_adaptive_kitti_parity,"
                    "train:gedepth_adaptive_kitti_tpu,"
                    "train+bf16:gedepth_adaptive_kitti_tpu,"
                    "gedepth_adaptive_kitti_tpu,"
@@ -105,6 +111,25 @@ def _history():
     return hist
 
 
+def _flops_and_peak(fn, *args):
+    """(analytic FLOPs of one fn(*args) call, device peak FLOP/s).
+
+    FLOPs counted from the jaxpr (matmul/conv, 2MNK; Pallas kernel bodies
+    times grid size — tools/flops.py); peak is the dense bf16 MXU peak of
+    the attached device. f32 rows are reported against the SAME bf16 peak
+    so MFU is comparable across precision (an f32 matmul cannot beat the
+    bf16 rate on the MXU). Never fatal: benches must not die on an
+    accounting error."""
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from flops import flops_of_fn, device_peak_flops
+        return flops_of_fn(fn, *args)["total"], device_peak_flops()
+    except Exception as e:  # pragma: no cover - diagnostics only
+        print(f"[bench] flops accounting failed: {e!r}", file=sys.stderr)
+        return None, None
+
+
 def _emit(record, history):
     print(json.dumps(record), flush=True)
     prev = history.get(record["metric"])
@@ -135,6 +160,7 @@ def bench_infer(name, history, bf16=False):
     # op-by-op over the remote-TPU tunnel (minutes); one
     # compiled (and persistently cached) init is seconds
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), img, cam_h)
+    scope = getattr(cfg.model, "bf16_scope", "none")
     if bf16:
         # Serving semantics (matches apis.inference.init_depther(bf16=True)):
         # params are cast ONCE and held in bf16 — casting inside the jitted
@@ -143,6 +169,13 @@ def bench_infer(name, history, bf16=False):
         variables = jax.jit(lambda v: jax.tree.map(
             lambda t: t.astype(jnp.bfloat16)
             if t.dtype == jnp.float32 else t, v))(variables)
+    elif scope != "none":
+        # Mixed-precision config (bf16_scope): the model casts activations
+        # at the scope boundary; cast the matching param subtrees once here
+        # (apis.inference.cast_params_bf16 contract).
+        from gedepth_tpu.apis.inference import cast_params_bf16
+        variables = jax.jit(
+            lambda v: cast_params_bf16(v, scope=scope))(variables)
 
     # Sync protocol: the reference's tools/benchmark.py never copies the
     # prediction to host (torch.cuda.synchronize() only). On the axon
@@ -180,8 +213,9 @@ def bench_infer(name, history, bf16=False):
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt
+    flops, peak = _flops_and_peak(forward, variables, img, cam_h)
     tag = "_bf16" if bf16 else ""
-    _emit({
+    rec = {
         "metric": f"{cfg.name}{tag}_swinl_{HEIGHT}x{WIDTH}_infer",
         "value": round(ips, 3),
         "unit": "images/sec",
@@ -190,7 +224,11 @@ def bench_infer(name, history, bf16=False):
             cfg, phase="infer", batch=BATCH, hw=(HEIGHT, WIDTH),
             bf16=bf16, sync="full" if sync_full else "scalar",
             iters=ITERS),
-    }, history)
+    }
+    if flops:
+        rec["gflops_per_image"] = round(flops / BATCH / 1e9, 1)
+        rec["mfu"] = round(ips * flops / BATCH / peak, 4)
+    _emit(rec, history)
 
 
 def bench_train(name, history, bf16_compute=False):
@@ -236,8 +274,9 @@ def bench_train(name, history, bf16_compute=False):
     dt = time.perf_counter() - t0
 
     sps = dt / TRAIN_ITERS  # seconds per step
+    flops, peak = _flops_and_peak(step, state, batch, key)
     tag = "_bf16c" if bf16_compute else ""
-    _emit({
+    rec = {
         "metric": f"{cfg.name}{tag}_swinl_{TRAIN_HEIGHT}x{TRAIN_WIDTH}"
                   f"_b{TRAIN_BATCH}_train",
         "value": round(sps, 3),
@@ -246,7 +285,11 @@ def bench_train(name, history, bf16_compute=False):
         "fingerprint": _fingerprint(
             cfg, phase="train", batch=b, hw=(h, w),
             bf16_compute=bf16_compute, iters=TRAIN_ITERS, donate=True),
-    }, history)
+    }
+    if flops:
+        rec["gflops_per_step"] = round(flops / 1e9, 1)
+        rec["mfu"] = round(flops / sps / peak, 4)
+    _emit(rec, history)
 
 
 def main():

@@ -22,6 +22,15 @@ host the MSDA dispatch (ops/msda.py impl="auto") traces the portable
 tiled XLA formulation, which runs correctly on TPU but without the
 Mosaic kernel; export on a TPU-attached host to capture the Pallas
 windowed kernel in the artifact.
+
+Choosing the export `batch` (v5e, measured NOTES.md round 4): at the full
+KITTI protocol resolution (352x1216) batch 1 is OPTIMAL — batching LOSES
+throughput (15.99 -> 14.51 img/s b1 -> b2 bf16 flagship) because the
+per-image win of amortising fixed overhead is outweighed by doubled live
+activation HBM at this activation-heavy shape. At <= half resolution
+(176x608) batching WINS ~1.8x (b4 vs b1). Rule of thumb: export batch=1
+for protocol-resolution serving, batch=2-4 only for half-res-or-smaller
+streams.
 """
 from __future__ import annotations
 

@@ -2,6 +2,15 @@
 
 init_depther(config_name, checkpoint) -> handle
 inference_depther(handle, image_or_path) -> (H, W) depth in meters
+
+Serving guidance (v5e, measured NOTES.md round 4): at the full KITTI
+protocol resolution (352x1216) serve batch 1 — batching LOSES throughput
+there (15.99 -> 14.51 img/s b1 -> b2); at <= half resolution batch 2-4
+wins ~1.8x. Precision: bf16=True (full-cast) is the fastest mode
+(abs-rel delta ~2e-3 vs f32); for parity-grade serving use the
+`gedepth_adaptive_kitti_parity` preset (windowed_compat R=6 +
+bf16_scope='backbone', combined delta 5e-4) with
+cast_params_bf16(scope='backbone').
 """
 from __future__ import annotations
 
@@ -12,6 +21,35 @@ import numpy as np
 
 from gedepth_tpu.configs import get_config
 from gedepth_tpu.eval.evaluator import build_test_pipeline
+
+
+def cast_params_bf16(variables, scope: str = "all"):
+    """Cast f32 leaves to bf16 for serving, optionally only within a scope.
+
+    scope='all' casts the whole tree (full-bf16 serving). 'backbone' /
+    'backbone_neck' cast only those top-level module subtrees in every
+    collection (params + batch_stats) — the caller-side half of the model's
+    ``bf16_scope`` mixed-precision contract (models/depther.py): the model
+    casts activations at the scope boundary, this casts the matching params
+    so the in-scope compute actually runs on the bf16 MXU path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def cast_tree(t):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, t)
+
+    if scope == "all":
+        return cast_tree(variables)
+    mods = {"backbone": ("backbone",),
+            "backbone_neck": ("backbone", "neck"),
+            "backbone_head": ("backbone", "decode_head"),
+            "backbone_neck_head": ("backbone", "neck", "decode_head")}[scope]
+    return {coll: {k: (cast_tree(v) if k in mods else v)
+                   for k, v in tree.items()}
+            for coll, tree in variables.items()}
 
 
 @dataclasses.dataclass
@@ -53,6 +91,14 @@ def init_depther(config: Union[str, object], checkpoint: Optional[str] = None,
     stats = variables.get("batch_stats", {})
     if checkpoint:
         params, stats = load_params_only(checkpoint, params, stats)
+    scope = getattr(cfg.model, "bf16_scope", "none")
+    if scope != "none" and not bf16:
+        # mixed-precision preset (e.g. gedepth_adaptive_kitti_parity):
+        # cast the in-scope param subtrees once; the model casts
+        # activations at the scope boundary (models/depther.py)
+        casted = cast_params_bf16(
+            {"params": params, "batch_stats": stats}, scope=scope)
+        params, stats = casted["params"], casted["batch_stats"]
 
     flip = cfg.data.eval_flip_tta if flip_tta is None else flip_tta
     pe_raw = None

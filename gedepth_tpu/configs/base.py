@@ -48,6 +48,14 @@ class ModelConfig:
     # viable at small crops/batches and is swept in NOTES.md.
     swin_remat: bool = True
     neck_msda_remat: bool = True
+    # Mixed-precision serving scope (models/depther.py bf16_scope): run
+    # this scope in bf16 and keep the PE/fusion/head metric path f32.
+    # 'backbone' is the parity-grade serving precision: combined
+    # windowed_compat(R=6)+bf16-backbone abs-rel delta vs exact f32 is
+    # 5.0e-4 on stressed converted weights (1x-4x offset reach,
+    # tests/test_composite_deltas.py round-5 table) — within the 0.001
+    # released-checkpoint budget that full bf16 (2.2e-3) busts.
+    bf16_scope: str = "none"      # 'none' | 'backbone' | 'backbone_neck'
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -95,6 +103,7 @@ class ModelConfig:
             neck_hi_min_level=self.neck_hi_min_level,
             swin_remat=self.swin_remat,
             neck_msda_remat=self.neck_msda_remat,
+            bf16_scope=self.bf16_scope,
             head_channels=self.head_channels,
             min_depth=self.min_depth, max_depth=self.max_depth,
             pe_variant=self.pe_variant, depth_scale=self.depth_scale,
@@ -184,6 +193,10 @@ class TrainConfig:
                                           # (reference builder.py
                                           # workers_per_gpu); 0 = one
                                           # background prefetch thread
+    # 'epoch': per-epoch permutation without replacement (the reference
+    # DistributedSampler's semantics, builder.py:123-125). 'replacement':
+    # i.i.d. uniform draws per step (pre-round-5 behavior, opt-in).
+    sampling: str = "epoch"
 
 
 @dataclass(frozen=True)

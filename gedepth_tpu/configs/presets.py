@@ -86,6 +86,23 @@ _PRESETS = {
                           neck_sampling="windowed_compat",
                           neck_window_radius=6, swin_scan=True),
         data=_kitti_data()),
+    # THE parity serving config (round-5 north star, PARITY.md): the
+    # compat parameter tree (loads converted reference checkpoints
+    # unchanged) with the backbone in bf16 and the HAHI/PE/fusion/head
+    # metric path in f32 (ModelConfig.bf16_scope='backbone'; the caller
+    # casts the backbone param subtree via
+    # apis.inference.cast_params_bf16(scope='backbone')). Measured
+    # combined abs-rel delta vs exact f32 on stressed converted weights:
+    # 5.0e-4 at init reach, 5.4e-4 at 4x reach, 1.75e-3 only at the 8x
+    # stress bound (tests/test_composite_deltas.py) — inside the 0.001
+    # released-checkpoint budget that full-bf16 serving (2.2e-3) exceeds.
+    "gedepth_adaptive_kitti_parity": lambda: ExperimentConfig(
+        name="gedepth_adaptive_kitti_parity",
+        model=ModelConfig(pe_variant="adaptive",
+                          neck_sampling="windowed_compat",
+                          neck_window_radius=6, swin_scan=True,
+                          bf16_scope="backbone"),
+        data=_kitti_data()),
     # configs/depthformer/depthformer_v_ddad.py
     "gedepth_vanilla_ddad": lambda: ExperimentConfig(
         name="gedepth_vanilla_ddad", model=_ddad_model("vanilla"),

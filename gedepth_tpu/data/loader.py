@@ -41,11 +41,20 @@ class TrainLoader:
       shard_index / shard_count: this host's slice of the global batch
         (multi-host: each host materialises only its rows).
       prefetch: number of batches prepared ahead on a worker thread.
+      sampling: 'epoch' (default) draws indices from a fresh deterministic
+        permutation of the dataset per epoch — every sample seen exactly
+        once per epoch, the reference DistributedSampler's semantics
+        (depth/datasets/builder.py:123-125: shuffle=True epoch permutation
+        split across ranks). 'replacement' draws i.i.d. uniform indices per
+        step (the pre-round-5 behavior; same expectation, higher-moment
+        coverage statistics differ over long runs).
     """
 
     def __init__(self, dataset, pipeline, global_batch, seed=0,
-                 shard_index=0, shard_count=1, prefetch=2, num_workers=0):
+                 shard_index=0, shard_count=1, prefetch=2, num_workers=0,
+                 sampling="epoch"):
         assert global_batch % shard_count == 0
+        assert sampling in ("epoch", "replacement"), sampling
         self.dataset = dataset
         self.pipeline = pipeline
         self.global_batch = global_batch
@@ -55,17 +64,39 @@ class TrainLoader:
         self.shard_count = shard_count
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.sampling = sampling
+        self._epoch_cache = (-1, None)  # (epoch, permutation) memo
+
+    def _epoch_order(self, epoch):
+        """Deterministic permutation for `epoch` — a pure function of
+        (seed, epoch), so every shard/worker/process computes the same
+        order without coordination. Memoised per instance (workers in the
+        process pool each hold their own memo; recompute is O(N) ~ ms)."""
+        if self._epoch_cache[0] != epoch:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed, epoch, 0xE90C4]))
+            self._epoch_cache = (epoch, rng.permutation(len(self.dataset)))
+        return self._epoch_cache[1]
+
+    def _index_for(self, step, slot):
+        """Dataset index for global slot `slot` of batch `step`."""
+        if self.sampling == "replacement":
+            rng_idx = np.random.default_rng(
+                np.random.SeedSequence([self.seed, step, 0xA11CE]))
+            order = rng_idx.integers(0, len(self.dataset),
+                                     size=self.global_batch)
+            return int(order[slot])
+        pos = step * self.global_batch + slot  # position in the epoch stream
+        n = len(self.dataset)
+        return int(self._epoch_order(pos // n)[pos % n])
 
     def _make_batch(self, step):
-        rng_idx = np.random.default_rng(
-            np.random.SeedSequence([self.seed, step, 0xA11CE]))
-        order = rng_idx.integers(0, len(self.dataset), size=self.global_batch)
         lo = self.shard_index * self.local_batch
         samples = []
         for slot in range(lo, lo + self.local_batch):
             rng = np.random.default_rng(
                 np.random.SeedSequence([self.seed, step, slot]))
-            sample = self.dataset[int(order[slot])]
+            sample = self.dataset[self._index_for(step, slot)]
             sample = self.pipeline(sample, rng)
             samples.append(sample)
         keys = [k for k in _BATCH_KEYS_TRAIN if k in samples[0]]

@@ -61,10 +61,28 @@ class GEDepth(nn.Module):
     depth_scale: float = 200.0
     vanilla_pe_multiplier: float = 200.0
     default_cam_height: float = 1.65
+    # Mixed precision for serving: run the named scope in bfloat16 and the
+    # rest in float32. The FLOPs live in the backbone + HAHI + decode-head
+    # convs; the accuracy-critical metric path (slope bins, PE prior up to
+    # depth_scale=200 — only 8 mantissa bits in bf16 — and the final
+    # fusion/clamp) stays f32 in every scope: pe_mask and y are always
+    # computed f32, so the head's fusion d*(1-y)+pe promotes back to f32
+    # even when the head convs run bf16. The model casts ACTIVATIONS at
+    # the scope boundaries; the caller must cast the matching PARAM
+    # subtrees to bf16 as well, or XLA's type promotion silently lifts the
+    # compute back to f32 (correct, no speedup). See
+    # apis.inference.cast_params_bf16(scope=...). Scopes:
+    #   'backbone'           Swin only
+    #   'backbone_neck'      + HAHI
+    #   'backbone_head'      Swin + decode head (HAHI f32)
+    #   'backbone_neck_head' everything except PE necks + fusion
+    bf16_scope: str = "none"
 
     @nn.compact
     def __call__(self, img, cam_height=None, train: bool = False):
         assert self.pe_variant in ("none", "vanilla", "adaptive")
+        assert self.bf16_scope in ("none", "backbone", "backbone_neck",
+                                   "backbone_head", "backbone_neck_head")
         use_pe = self.pe_variant != "none"
         B, H, W, C = img.shape
 
@@ -74,7 +92,10 @@ class GEDepth(nn.Module):
             drop_path_rate=self.drop_path_rate, use_pe=use_pe,
             scan_pairs=self.swin_scan, remat=self.swin_remat,
             name="backbone")
-        feats = backbone(img, train=train)
+        x = (img.astype(jnp.bfloat16) if self.bf16_scope != "none" else img)
+        feats = backbone(x, train=train)
+        if self.bf16_scope in ("backbone", "backbone_head"):
+            feats = [f.astype(jnp.float32) for f in feats]
 
         feats = HAHINeck(
             in_channels=self.neck_channels, out_channels=self.neck_channels,
@@ -84,6 +105,8 @@ class GEDepth(nn.Module):
             hi_min_level=self.neck_hi_min_level,
             msda_remat=self.neck_msda_remat,
             name="neck")(feats, train=train)
+        if self.bf16_scope in ("backbone_neck", "backbone_neck_head"):
+            feats = [f.astype(jnp.float32) for f in feats]
 
         y = None
         pe_mask = None
@@ -108,10 +131,15 @@ class GEDepth(nn.Module):
             else:
                 pe_mask = img[..., 3:4] * y * self.vanilla_pe_multiplier
 
+        head_in = feats
+        if self.bf16_scope in ("backbone_head", "backbone_neck_head"):
+            # head convs run bf16; pe_mask/y stay f32 so the fusion
+            # d*(1-y)+pe inside the head promotes back to f32
+            head_in = [f.astype(jnp.bfloat16) for f in feats]
         depth, _ = DenseDepthHead(
             up_sample_channels=self.neck_channels,
             channels=self.head_channels, min_depth=self.min_depth,
-            max_depth=self.max_depth, name="decode_head")(feats, pe_mask, y)
+            max_depth=self.max_depth, name="decode_head")(head_in, pe_mask, y)
 
         return {"depth": depth, "y": y, "slope_logits": slope_logits,
                 "pe_mask": pe_mask}

@@ -11,6 +11,7 @@ as constants (sine PE over an all-valid mask == fixed grid tables).
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import numpy as np
@@ -22,6 +23,20 @@ from gedepth_tpu.models.layers import (
     ConvModule, sine_positional_encoding, xavier_uniform_init)
 from gedepth_tpu.ops.msda import (
     msda_sample, msda_sample_windowed, shared_value_exts)
+
+
+def _tile_query_order(H, W, th, tw):
+    """Static tile-major raster permutation of H*W raster indices: queries
+    are emitted tile by tile (row-major over tiles, row-major within a
+    tile), so consecutive query chunks cover compact 2D regions. Returns
+    an int32 index array of length H*W (a pure function of the shape —
+    folded into the jitted program as a constant)."""
+    ys = np.arange(H)
+    xs = np.arange(W)
+    yy, xx = np.meshgrid(ys, xs, indexing="ij")
+    key = ((yy // th) * (-(-W // tw)) + (xx // tw)) * (th * tw) \
+        + (yy % th) * tw + (xx % tw)
+    return np.argsort(key.reshape(-1), kind="stable").astype(np.int32)
 
 
 def _msda_offset_bias_init(num_heads, num_levels, num_points, scale=1.0):
@@ -343,6 +358,27 @@ class HAHINeck(nn.Module):
             ref_q = jax.nn.sigmoid(ref_q)                  # (1, Nq, 2)
             ref_q = jnp.tile(ref_q[:, :, None, :], (1, 1, L, 1))
             ref_q = jnp.broadcast_to(ref_q, (B,) + ref_q.shape[1:])
+        # Locality experiment (NOTES r2: TPU gather cost is
+        # LOCALITY-DEPENDENT; VERDICT r4 item 4): reorder the cross-attn
+        # queries into square tiles so each 4096-query gather chunk samples
+        # a compact 2D region of every value level instead of a full-width
+        # 7-row band. Pointwise ops (Dense offsets/weights, softmax) are
+        # order-agnostic, so only one pre-permute of query/qpos/ref and one
+        # inverse post-permute of the output are added. Exact/bilinear
+        # sampling only (windowed mode owns its own tiling geometry).
+        # Env: GEDEPTH_MSDA_QUERY_ORDER=tile[:TH,TW] (default raster).
+        perm = inv_perm = None
+        order = os.environ.get("GEDEPTH_MSDA_QUERY_ORDER", "raster")
+        if (self.cross_att and not windowed and order.startswith("tile")):
+            th, tw = 64, 64
+            if ":" in order:
+                th, tw = (int(v) for v in order.split(":")[1].split(","))
+            perm = _tile_query_order(Hc, Wc, th, tw)
+            inv_perm = np.argsort(perm)
+            query = query[:, perm]
+            qpos = qpos[:, perm]
+            if ref_q is not None:
+                ref_q = ref_q[:, perm]
         if self.cross_att:
             fused = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
@@ -352,6 +388,8 @@ class HAHINeck(nn.Module):
                                    deterministic, query_shapes=((Hc, Wc),))
         else:
             fused = query
+        if inv_perm is not None:
+            fused = fused[:, inv_perm]
         fused = fused.reshape(B, Hc, Wc, self.embed_dim)
         out_conv = ConvModule(self.out_channels[0], kernel_size=3,
                               use_norm=True, act=nn.relu, name="conv_fusion")(

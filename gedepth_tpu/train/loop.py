@@ -208,7 +208,8 @@ def train(cfg: ExperimentConfig, work_dir: Optional[str] = None,
                          seed=cfg.train.seed,
                          shard_index=jax.process_index(),
                          shard_count=jax.process_count(),
-                         num_workers=cfg.train.num_workers)
+                         num_workers=cfg.train.num_workers,
+                         sampling=cfg.train.sampling)
 
     mesh = create_mesh_for_batch(cfg.train.global_batch)
     tx, schedule = make_optimizer(

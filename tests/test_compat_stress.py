@@ -71,11 +71,21 @@ def test_compat_delta_vs_offset_reach(monkeypatch):
     exact = C._build_jax_model("adaptive")
     v0 = C._converted_variables(tm, exact, img, ch)
 
+    from gedepth_tpu.apis.inference import cast_params_bf16
+    parity_model = C._build_jax_model(
+        "adaptive", neck_sampling="windowed_compat",
+        neck_window_radius=6, bf16_scope="backbone")
+
     table = {}
+    parity = {}
     for factor in (1.0, 4.0, 8.0):
         v = _scale_offsets(v0, factor)
         ref = np.asarray(exact.apply(v, img, ch,
                                      method=exact.predict_depth))
+        out = parity_model.apply(cast_params_bf16(v, scope="backbone"),
+                                 img, ch,
+                                 method=parity_model.predict_depth)
+        parity[factor] = _abs_rel(ref, np.asarray(out))
         for R in (4, 8, 16):
             compat = C._build_jax_model("adaptive",
                                         neck_sampling="windowed_compat",
@@ -103,3 +113,15 @@ def test_compat_delta_vs_offset_reach(monkeypatch):
     # the production claim under stress: at R=8, even 8x-init reach stays
     # metric-harmless (<1e-2 abs-rel delta; measured ~1e-3 range)
     assert table[(8.0, 8)][0] < 1e-2
+
+    # THE parity config (gedepth_adaptive_kitti_parity: compat R=6 +
+    # bf16_scope='backbone') under the same far-from-init stress: the
+    # COMBINED delta must stay inside the 0.001 released-checkpoint budget
+    # at realistic trained reach (1x and the 4x over-reach; round-5
+    # measured 5.0e-4 / 5.4e-4; only the 8x stress bound exceeds it at
+    # 1.75e-3 — covered by the per-checkpoint compat_delta_px procedure).
+    print(f"parity (R=6 + bf16 backbone) combined deltas: "
+          f"{ {k: round(d, 5) for k, d in parity.items()} }")
+    assert parity[1.0] < 1e-3, parity
+    assert parity[4.0] < 1e-3, parity
+    assert parity[8.0] < 5e-3, parity

@@ -92,11 +92,32 @@ def test_variant_deltas_on_converted_swin_s_weights(monkeypatch):
                                       method=compat.predict_depth))
         deltas[f"windowed_compat_R{R}"] = _abs_rel(ref, out)
 
+    # THE parity serving config (gedepth_adaptive_kitti_parity preset):
+    # compat R=6 sampling + bf16_scope='backbone' mixed precision —
+    # backbone params cast bf16, HAHI/PE/fusion/head stay f32
+    # (models/depther.py bf16_scope; apis.inference.cast_params_bf16).
+    from gedepth_tpu.apis.inference import cast_params_bf16
+    parity = C._build_jax_model("adaptive",
+                                neck_sampling="windowed_compat",
+                                neck_window_radius=6,
+                                bf16_scope="backbone")
+    vp = cast_params_bf16(v, scope="backbone")
+    out = np.asarray(parity.apply(vp, jnp.asarray(img), ch,
+                                  method=parity.predict_depth))
+    deltas["parity_R6_bf16backbone"] = _abs_rel(ref, out)
+
     print("depth abs-rel deltas vs f32 exact on converted Swin-S-ish "
           f"weights: { {k: round(x, 4) for k, x in deltas.items()} }")
-    # rails: bf16 is a rounding-level perturbation; compat tightens as the
-    # window grows (R=16 must not be worse than R=8 by more than noise)
-    assert deltas["bf16"] < 0.02
     assert all(np.isfinite(list(deltas.values())))
+    # ---- budget-enforcing gates (VERDICT r4 weak #2 / item 7) ----
+    # The marketed parity config must stay inside the released-checkpoint
+    # budget: Abs Rel within 0.001 (BASELINE.json). Round-5 measured
+    # 5.0e-4 here; a regression past the budget turns the suite red.
+    assert deltas["parity_R6_bf16backbone"] < 1e-3, deltas
+    # compat f32 at production radii is also marketed as parity-credible
+    assert deltas["windowed_compat_R8"] < 1e-3, deltas
+    # loose rails only for the documented FAST modes (nearest / full bf16
+    # serving), which are not marketed as parity configs
+    assert deltas["bf16"] < 0.02
     assert (deltas["windowed_compat_R16"]
             <= deltas["windowed_compat_R8"] + 1e-3)

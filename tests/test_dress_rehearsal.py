@@ -1,0 +1,159 @@
+"""Swin-L-scale released-checkpoint dress rehearsal (VERDICT r4 item 9).
+
+Exercises, ONCE per slow run, the exact artifact path a released official
+Swin-L-384 (window 12) .pth would take into the production parity config:
+
+  torch.save(official state dict)
+    -> tools/convert_torch_checkpoint.py --official-swin
+       (key remap + PatchMerging unfold reorder + 4-channel patch-embed PE
+        pad + per-block -> scanned-pair stacking + window 12 -> 7 bicubic
+        rel-pos-bias resize; mirrors reference depthformer_swin.py:1046-1125)
+    -> train.checkpoint.load_params_only into the 352x1216 protocol models
+    -> full protocol eval step (flip TTA) on the compat sampler vs the
+       exact mmcv-semantics gather on the SAME loaded weights.
+
+The composite parity harness stops at Swin-S scale
+(test_composite_parity.py); this is the production-scale rehearsal.
+Runtime is CPU-minutes (two full-res Swin-L forwards x flip TTA), so it
+rides the slow tier.
+"""
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+pytestmark = pytest.mark.slow
+
+EMBED = 192
+DEPTHS = (2, 2, 18, 2)
+HEADS = (6, 12, 24, 48)
+W12 = 12  # official Swin-L-384 window
+
+
+def _official_swin_l_state_dict(rng):
+    """Synthesize an official-format (microsoft/Swin-Transformer key
+    naming) Swin-L window-12 state dict, the shape of
+    swin_large_patch4_window12_384_22k.pth."""
+    sd = {}
+
+    def t(shape, scale=0.02):
+        return torch.from_numpy(
+            (rng.standard_normal(shape) * scale).astype(np.float32))
+
+    sd["patch_embed.proj.weight"] = t((EMBED, 3, 4, 4))
+    sd["patch_embed.proj.bias"] = t((EMBED,))
+    sd["patch_embed.norm.weight"] = torch.ones(EMBED)
+    sd["patch_embed.norm.bias"] = torch.zeros(EMBED)
+    sd["absolute_pos_embed"] = t((1, 96 * 96, EMBED))  # 384/4 grid
+    dims = [EMBED * (2 ** i) for i in range(4)]
+    for i in range(4):
+        d = dims[i]
+        for j in range(DEPTHS[i]):
+            b = f"layers.{i}.blocks.{j}."
+            sd[b + "norm1.weight"] = torch.ones(d)
+            sd[b + "norm1.bias"] = torch.zeros(d)
+            sd[b + "attn.relative_position_bias_table"] = t(
+                ((2 * W12 - 1) ** 2, HEADS[i]))
+            sd[b + "attn.qkv.weight"] = t((3 * d, d))
+            sd[b + "attn.qkv.bias"] = t((3 * d,))
+            sd[b + "attn.proj.weight"] = t((d, d))
+            sd[b + "attn.proj.bias"] = t((d,))
+            sd[b + "norm2.weight"] = torch.ones(d)
+            sd[b + "norm2.bias"] = torch.zeros(d)
+            sd[b + "mlp.fc1.weight"] = t((4 * d, d))
+            sd[b + "mlp.fc1.bias"] = t((4 * d,))
+            sd[b + "mlp.fc2.weight"] = t((d, 4 * d))
+            sd[b + "mlp.fc2.bias"] = t((d,))
+        if i < 3:
+            sd[f"layers.{i}.downsample.norm.weight"] = torch.ones(4 * d)
+            sd[f"layers.{i}.downsample.norm.bias"] = torch.zeros(4 * d)
+            sd[f"layers.{i}.downsample.reduction.weight"] = t(
+                (2 * d, 4 * d))
+    sd["norm.weight"] = torch.ones(dims[-1])
+    sd["norm.bias"] = torch.zeros(dims[-1])
+    sd["head.weight"] = t((21841, dims[-1]))  # 22k head: must be skipped
+    sd["head.bias"] = t((21841,))
+    return sd
+
+
+def test_swin_l_official_checkpoint_to_protocol_eval(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from gedepth_tpu.configs import get_config
+    from gedepth_tpu.train.checkpoint import load_params_only
+    from gedepth_tpu.train.steps import make_eval_step
+
+    rng = np.random.default_rng(0)
+    pth = str(tmp_path / "swin_l_w12_official.pth")
+    torch.save(_official_swin_l_state_dict(rng), pth)
+
+    # THE production converter CLI, exactly as an operator would run it
+    out_ckpt = str(tmp_path / "converted.npz")
+    here = osp.dirname(osp.dirname(osp.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, osp.join(here, "tools",
+                                  "convert_torch_checkpoint.py"),
+         pth, "gedepth_adaptive_kitti_parity", out_ckpt, "--official-swin"],
+        capture_output=True, text=True, timeout=3600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    # (the official 22k `head.*` is dropped by the remap and the final
+    # `norm` has no DepthFormer destination — per-stage norm0-3 stay fresh,
+    # like the reference's strict=False load)
+
+    import dataclasses
+
+    # protocol models: compat parity preset + exact mmcv semantics.
+    # swin_scan=True on the exact model so both share the IDENTICAL param
+    # tree (scan only changes the param LAYOUT, not values — NOTES.md;
+    # equivalence-tested in test_swin): one converted checkpoint feeds both.
+    compat_cfg = get_config("gedepth_adaptive_kitti_parity")
+    exact_cfg = get_config("gedepth_adaptive_kitti")
+    compat = compat_cfg.model.build()
+    exact = dataclasses.replace(exact_cfg.model, swin_scan=True).build()
+
+    img = rng.standard_normal((1, 352, 1216, 5)).astype(np.float32)
+    img[..., 3] = np.abs(img[..., 3]) * 0.3
+    img[..., 4] = np.abs(img[..., 4]) * 30 + 1.0
+    batch = {"img": jnp.asarray(img),
+             "cam_height": jnp.full((1,), 1.65, jnp.float32)}
+
+    variables = compat.init(jax.random.PRNGKey(0), batch["img"],
+                            batch["cam_height"])
+    params, stats = load_params_only(out_ckpt, variables["params"],
+                                     variables.get("batch_stats", {}))
+
+    # window-12 tables landed resized to window 7 in the scanned layout
+    assert any(t.shape[-2] == (2 * 7 - 1) ** 2
+               for t in jax.tree_util.tree_leaves(params["backbone"])
+               if hasattr(t, "shape") and t.ndim >= 2), \
+        "no window-7 rel-pos tables found after conversion"
+    # 4-channel PE pad on the patch embed
+    assert params["backbone"]["patch_embed"]["projection"][
+        "kernel"].shape[2] == 4
+
+    # full protocol eval step (flip TTA, clamp, resize) on both samplers
+    compat_step = make_eval_step(compat, flip_tta=True)
+    exact_step = make_eval_step(exact, flip_tta=True)
+    # parity preset semantics: backbone params ride bf16
+    from gedepth_tpu.apis.inference import cast_params_bf16
+    casted = cast_params_bf16({"params": params, "batch_stats": stats},
+                              scope=compat_cfg.model.bf16_scope)
+    got = np.asarray(compat_step(casted["params"], casted["batch_stats"],
+                                 batch))
+    want = np.asarray(exact_step(params, stats, batch))
+
+    assert got.shape == want.shape == (1, 352, 1216)
+    assert np.isfinite(got).all() and np.isfinite(want).all()
+    rel = np.abs(got - want) / np.maximum(want, 1e-3)
+    print(f"dress rehearsal: compat-parity vs exact on converted Swin-L "
+          f"weights @352x1216: mean abs-rel {rel.mean():.5f}, "
+          f"p99 {np.percentile(rel, 99):.5f}")
+    # init-reach offsets + real converted backbone: the budget gate
+    assert rel.mean() < 1e-3

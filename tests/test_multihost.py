@@ -36,7 +36,6 @@ def _free_port():
 def test_two_process_train_and_eval(tmp_path):
     here = osp.dirname(osp.abspath(__file__))
     worker = osp.join(here, "_multihost_worker.py")
-    coordinator = f"127.0.0.1:{_free_port()}"
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -66,32 +65,43 @@ def test_two_process_train_and_eval(tmp_path):
     # non-primary process waits for the primary's directory — giving each
     # process a private dir deadlocks rank 1 (observed: orbax
     # array_metadata_store timeout)
-    work_dir = str(tmp_path / "work")
-    procs = []
-    outs = []
-    for pid in range(2):
-        out_json = str(tmp_path / f"out_{pid}.json")
-        outs.append(out_json)
-        procs.append(subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(pid),
-             work_dir, out_json],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = []
-    try:
-        for p in procs:
-            logs.append(p.communicate(timeout=1800)[0].decode())
-    finally:
-        for p in procs:  # never leave orphaned workers on timeout
-            if p.poll() is None:
-                p.kill()
-    joined = "\n".join(logs)
-    if any(p.returncode != 0 for p in procs) and \
-            "Gloo context initialization failed" in joined:
-        # single-core CI box: interpreter start-up skew can exceed gloo's
-        # fixed 30 s store handshake even with a warm compile cache and a
-        # coordination-service boot barrier. The wiring itself is
-        # exercised; don't fail CI on scheduler jitter.
-        pytest.xfail("gloo 30s handshake skew on a single-core box")
+    #
+    # gloo's fixed 30 s store handshake can time out from interpreter
+    # start-up skew on a loaded single-core box. That race is transient,
+    # so RETRY the pair (fresh port + work_dir each attempt, VERDICT r4
+    # item 8); the xfail hatch only fires when the SPECIFIC gloo handshake
+    # message persists across every attempt — a wiring regression fails
+    # hard on the first attempt instead of hiding behind the hatch.
+    GLOO_RACE_MSG = "Gloo context initialization failed"
+    ATTEMPTS = 3
+    for attempt in range(ATTEMPTS):
+        work_dir = str(tmp_path / f"work_a{attempt}")
+        coordinator = f"127.0.0.1:{_free_port()}"
+        procs = []
+        outs = []
+        for pid in range(2):
+            out_json = str(tmp_path / f"out_a{attempt}_{pid}.json")
+            outs.append(out_json)
+            procs.append(subprocess.Popen(
+                [sys.executable, worker, coordinator, "2", str(pid),
+                 work_dir, out_json],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        logs = []
+        try:
+            for p in procs:
+                logs.append(p.communicate(timeout=1800)[0].decode())
+        finally:
+            for p in procs:  # never leave orphaned workers on timeout
+                if p.poll() is None:
+                    p.kill()
+        if all(p.returncode == 0 for p in procs):
+            break
+        joined = "\n".join(logs)
+        assert GLOO_RACE_MSG in joined, \
+            "worker failed for a non-gloo reason:\n" + joined[-4000:]
+        if attempt == ATTEMPTS - 1:
+            pytest.xfail(f"gloo 30s handshake skew persisted across "
+                         f"{ATTEMPTS} attempts on this box")
     for p, log in zip(procs, logs):
         assert p.returncode == 0, log[-4000:]
 

@@ -165,6 +165,36 @@ def test_train_loader_shapes_and_sharding():
         np.concatenate([sh0["img"], sh1["img"]]), b_full["img"])
 
 
+def test_train_loader_epoch_permutation_semantics():
+    """Default sampling='epoch' matches the reference DistributedSampler:
+    within each epoch every dataset index appears EXACTLY once, epochs are
+    distinct permutations, and the schedule is deterministic per (seed,
+    epoch) and shard-stable (builder.py:123-125)."""
+    ds = SyntheticGroundDataset(size=10, height=64, width=96)
+    pipe = Compose([Normalize(depth_scale=200.0)])
+    ld = TrainLoader(ds, pipe, global_batch=5, seed=3)
+    # 2 steps per epoch at batch 5 over 10 samples
+    epoch0 = [ld._index_for(s, slot) for s in (0, 1) for slot in range(5)]
+    epoch1 = [ld._index_for(s, slot) for s in (2, 3) for slot in range(5)]
+    assert sorted(epoch0) == list(range(10))       # exactly-once coverage
+    assert sorted(epoch1) == list(range(10))
+    assert epoch0 != epoch1                        # re-shuffled per epoch
+    assert epoch0 != list(range(10))               # actually shuffled
+    # deterministic: a fresh loader instance reproduces the schedule
+    ld2 = TrainLoader(ds, pipe, global_batch=5, seed=3)
+    assert [ld2._index_for(1, k) for k in range(5)] == epoch0[5:]
+    # epoch boundary inside a batch: global_batch=4 -> step 2 spans epochs
+    ld3 = TrainLoader(ds, pipe, global_batch=4, seed=3)
+    stream = [ld3._index_for(s, k) for s in range(5) for k in range(4)]
+    assert sorted(stream[:10]) == list(range(10))
+    assert sorted(stream[10:20]) == list(range(10))
+    # opt-in replacement sampling still available
+    ld4 = TrainLoader(ds, pipe, global_batch=5, seed=3,
+                      sampling="replacement")
+    rep = [ld4._index_for(s, k) for s in (0, 1) for k in range(5)]
+    assert len(rep) == 10 and all(0 <= i < 10 for i in rep)
+
+
 def test_train_loader_multiprocess_stream_identical():
     """num_workers changes throughput only: every batch is a pure function
     of (seed, step, slot), so the multi-process stream must equal the

@@ -61,7 +61,7 @@ def main():
     train_ds, _ = build_datasets(cfg)
     pipeline = build_train_pipeline(cfg)
     loader = TrainLoader(train_ds, pipeline, cfg.train.global_batch,
-                         seed=cfg.train.seed)
+                         seed=cfg.train.seed, sampling=cfg.train.sampling)
     mesh = create_mesh_for_batch(cfg.train.global_batch)
     tx, schedule = make_optimizer(
         cfg.optim.max_lr, max_iters, cfg.optim.warmup_iters,
