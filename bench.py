@@ -21,6 +21,11 @@ metric, "train+bf16:" for bf16_compute mixed-precision training):
   * gedepth_adaptive_kitti_compat — reference parameter tree routed through
                                     the dense windowed Pallas sampler
                                     (loads converted checkpoints unchanged).
+  * gedepth_adaptive_kitti_parity — THE parity serving config (PARITY.md
+                                    round 5): compat tree, R=5 window,
+                                    bf16_scope='backbone_head' mixed
+                                    precision — >=10 img/s AND <=0.001
+                                    measured abs-rel delta vs exact f32.
   * gedepth_adaptive_kitti_tpu    — TPU-native flagship (windowed sampling,
                                     train-from-scratch parameter tree).
 The headline (last) line is the flagship at bf16 — the TPU-native

@@ -39,6 +39,9 @@ class ModelConfig:
     # see gedepth_tpu/ops/msda.py and models/hahi.py)
     neck_sampling: str = "bilinear"
     neck_window_radius: int = 4
+    # bf16 VALUE maps through the windowed sampler (halved band DMA;
+    # offsets/weights/projections stay f32) — models/depther.py
+    neck_value_bf16: bool = False
     # HI self-attention queries start at this transformer level
     # (hahi.py hi_min_level; train-from-scratch knob, params unchanged)
     neck_hi_min_level: int = 0
@@ -100,6 +103,7 @@ class ModelConfig:
             neck_num_points=self.neck_num_points,
             neck_sampling=self.neck_sampling,
             neck_window_radius=self.neck_window_radius,
+            neck_value_bf16=self.neck_value_bf16,
             neck_hi_min_level=self.neck_hi_min_level,
             swin_remat=self.swin_remat,
             neck_msda_remat=self.neck_msda_remat,

@@ -36,19 +36,34 @@ def _ddad_model(variant):
                        depth_scale=250.0, default_cam_height=1.55)
 
 
+# Production training presets prepare batches with 4 worker processes:
+# measured (tools/bench_loader.py, round 5) the KITTI aug chain + PNG
+# decode costs ~87 ms/sample/core, so a v5e-8 host needing
+# 8 chips x batch 2 / 0.567 s/step = 28.2 samples/s wants >= 3 cores'
+# worth; 4 workers gives ~46 samples/s (1.6x margin) on v5e host CPUs.
+# Single-chip/smoke runs keep the default 0 (one prefetch thread,
+# 11.5 samples/s >> the 3.5 one chip needs); on a 1-core box workers
+# only add pool overhead.
+def _train_kitti(**kw):
+    return TrainConfig(num_workers=4, **kw)
+
+
 _PRESETS = {
     # DepthFormer-SwinL baseline (no ground embedding), KITTI
     "depthformer_baseline_kitti": lambda: ExperimentConfig(
         name="depthformer_baseline_kitti",
-        model=ModelConfig(pe_variant="none"), data=_kitti_data()),
+        model=ModelConfig(pe_variant="none"), data=_kitti_data(),
+        train=_train_kitti()),
     # configs/depthformer/depthformer_v.py
     "gedepth_vanilla_kitti": lambda: ExperimentConfig(
         name="gedepth_vanilla_kitti",
-        model=ModelConfig(pe_variant="vanilla"), data=_kitti_data()),
+        model=ModelConfig(pe_variant="vanilla"), data=_kitti_data(),
+        train=_train_kitti()),
     # configs/depthformer/depthformer_a.py
     "gedepth_adaptive_kitti": lambda: ExperimentConfig(
         name="gedepth_adaptive_kitti",
-        model=ModelConfig(pe_variant="adaptive"), data=_kitti_data()),
+        model=ModelConfig(pe_variant="adaptive"), data=_kitti_data(),
+        train=_train_kitti()),
     # TPU-native flagship: same GEDepth-Adaptive recipe with the windowed
     # deformable-attention neck (dense tiled local attention, no gathers —
     # ops/msda.py), scanned Swin block pairs (4x smaller HLO), and HI
@@ -64,7 +79,8 @@ _PRESETS = {
         name="gedepth_adaptive_kitti_tpu",
         model=ModelConfig(pe_variant="adaptive", neck_sampling="windowed",
                           swin_scan=True, neck_hi_min_level=1),
-        data=_kitti_data()),
+        data=_kitti_data(),
+        train=_train_kitti()),
     # Checkpoint-compatible fast mode: the REFERENCE parameter tree
     # (learned cross-attn reference points, unscaled mmcv offset bias —
     # loads the same converted .pth state dicts as 'gedepth_adaptive_kitti')
@@ -85,36 +101,50 @@ _PRESETS = {
         model=ModelConfig(pe_variant="adaptive",
                           neck_sampling="windowed_compat",
                           neck_window_radius=6, swin_scan=True),
-        data=_kitti_data()),
+        data=_kitti_data(),
+        train=_train_kitti()),
     # THE parity serving config (round-5 north star, PARITY.md): the
     # compat parameter tree (loads converted reference checkpoints
-    # unchanged) with the backbone in bf16 and the HAHI/PE/fusion/head
-    # metric path in f32 (ModelConfig.bf16_scope='backbone'; the caller
-    # casts the backbone param subtree via
-    # apis.inference.cast_params_bf16(scope='backbone')). Measured
-    # combined abs-rel delta vs exact f32 on stressed converted weights:
-    # 5.0e-4 at init reach, 5.4e-4 at 4x reach, 1.75e-3 only at the 8x
-    # stress bound (tests/test_composite_deltas.py) — inside the 0.001
-    # released-checkpoint budget that full-bf16 serving (2.2e-3) exceeds.
+    # unchanged) with the Swin backbone + decode-head convs in bf16 and
+    # the HAHI/PE/slope/fusion metric path in f32
+    # (ModelConfig.bf16_scope='backbone_head'; the caller casts the
+    # matching param subtrees via
+    # apis.inference.cast_params_bf16(scope='backbone_head')).
+    # Conjunction numbers (round 5): 10.81 img/s on one v5e at 352x1216
+    # batch 1 (>= the 10 img/s = 5x-A100 bar) with a measured COMBINED
+    # abs-rel delta vs exact f32 of 5.9e-4 at init offset reach and
+    # 7.0e-4 at 4x reach on stressed converted weights
+    # (tests/test_compat_stress.py; only the 8x stress bound exceeds
+    # 1e-3 at 2.6e-3). Full-bf16 serving (2.2e-3) busts the budget —
+    # that is why this scope exists. bf16 HAHI would double the delta to
+    # the budget edge (1.0e-3); bf16 head convs add nothing because the
+    # fusion d*(1-y)+pe promotes back to f32 (NOTES.md round-5 table).
+    # R sweep at this scope: R=6 9.68 img/s (delta 5.0e-4), R=5 10.81
+    # (5.9e-4), R=4 10.86 (6.6e-4) — R=5 is the knee: R=4 buys ~nothing
+    # and gives up stress margin. Per-checkpoint procedure unchanged:
+    # run models/hahi.compat_delta_px and lift R if it flags.
     "gedepth_adaptive_kitti_parity": lambda: ExperimentConfig(
         name="gedepth_adaptive_kitti_parity",
         model=ModelConfig(pe_variant="adaptive",
                           neck_sampling="windowed_compat",
-                          neck_window_radius=6, swin_scan=True,
-                          bf16_scope="backbone"),
-        data=_kitti_data()),
+                          neck_window_radius=5, swin_scan=True,
+                          bf16_scope="backbone_head"),
+        data=_kitti_data(),
+        train=_train_kitti()),
     # configs/depthformer/depthformer_v_ddad.py
     "gedepth_vanilla_ddad": lambda: ExperimentConfig(
         name="gedepth_vanilla_ddad", model=_ddad_model("vanilla"),
         data=_ddad_data(),
         optim=OptimConfig(warmup_iters=0),
-        train=TrainConfig(max_iters=38400, global_batch=32)),
+        train=TrainConfig(max_iters=38400, global_batch=32,
+                          num_workers=4)),
     # configs/depthformer/depthformer_a_ddad.py
     "gedepth_adaptive_ddad": lambda: ExperimentConfig(
         name="gedepth_adaptive_ddad", model=_ddad_model("adaptive"),
         data=_ddad_data(),
         optim=OptimConfig(warmup_iters=0),
-        train=TrainConfig(max_iters=38400, global_batch=32)),
+        train=TrainConfig(max_iters=38400, global_batch=32,
+                          num_workers=4)),
     # TPU-native DDAD flagship (same windowed-neck + scanned-Swin recipe
     # as gedepth_adaptive_kitti_tpu, DDAD data/recipe constants)
     "gedepth_adaptive_ddad_tpu": lambda: ExperimentConfig(
@@ -124,7 +154,8 @@ _PRESETS = {
                                   neck_hi_min_level=1),
         data=_ddad_data(),
         optim=OptimConfig(warmup_iters=0),
-        train=TrainConfig(max_iters=38400, global_batch=32)),
+        train=TrainConfig(max_iters=38400, global_batch=32,
+                          num_workers=4)),
     # ---- legacy toolbox model zoo (reference configs/_base_/models/*) ----
     # AdaBins: EfficientNet + mViT adaptive bins (_base_/models/adabins.py;
     # SigLoss loss_weight=10)

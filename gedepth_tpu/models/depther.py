@@ -52,6 +52,11 @@ class GEDepth(nn.Module):
     neck_sampling: str = "bilinear"
     neck_window_radius: int = 4
     neck_hi_min_level: int = 0
+    # bf16 VALUE maps through the windowed sampler (halved band DMA, bf16
+    # MXU dot with f32 accumulate); offsets/weights/projections stay f32.
+    # Independent of bf16_scope — measure the delta before combining on a
+    # parity config (models/hahi.py MSDeformAttention.value_bf16).
+    neck_value_bf16: bool = False
     # head
     head_channels: int = 64
     min_depth: float = 1e-3
@@ -104,6 +109,7 @@ class GEDepth(nn.Module):
             window_radius=self.neck_window_radius,
             hi_min_level=self.neck_hi_min_level,
             msda_remat=self.neck_msda_remat,
+            value_bf16=self.neck_value_bf16,
             name="neck")(feats, train=train)
         if self.bf16_scope in ("backbone_neck", "backbone_neck_head"):
             feats = [f.astype(jnp.float32) for f in feats]

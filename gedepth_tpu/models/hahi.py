@@ -125,6 +125,14 @@ class MSDeformAttention(nn.Module):
     # activation memory — see ops/msda.py msda_sample docstring). Turning
     # it off is a remat-granularity knob for small-activation regimes.
     msda_remat: bool = True
+    # Windowed/compat modes only: carry the projected VALUE maps through
+    # the sampler in bfloat16 — halves the kernel's band DMA bytes and
+    # runs the contraction as a native bf16 MXU dot with f32 accumulation
+    # (ops/pallas/msda_windowed.py). Offsets, attention weights, and the
+    # query/output projections stay f32. A surgical memory-bandwidth
+    # knob: measure the abs-rel delta before marketing it on a parity
+    # config (see tests/test_composite_deltas.py round-5 rows).
+    value_bf16: bool = False
 
     @nn.compact
     def __call__(self, query, value, query_pos, reference_points,
@@ -177,6 +185,8 @@ class MSDeformAttention(nn.Module):
         if windowed or compat:
             assert query_shapes is not None, \
                 "windowed sampling needs the query grid(s)"
+            if self.value_bf16:
+                levels = [l.astype(jnp.bfloat16) for l in levels]
             R = float(self.window_radius)
             if compat:
                 delta = compat_delta_px(reference_points, offsets,
@@ -283,6 +293,8 @@ class HAHINeck(nn.Module):
     hi_min_level: int = 0
     # remat granularity of the deformable sampling (see MSDeformAttention)
     msda_remat: bool = True
+    # bf16 VALUE maps through the windowed sampler (see MSDeformAttention)
+    value_bf16: bool = False
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
@@ -327,7 +339,8 @@ class HAHINeck(nn.Module):
             attn = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
                 sampling=self.sampling, window_radius=self.window_radius,
-                msda_remat=self.msda_remat, name="self_attn")
+                msda_remat=self.msda_remat, value_bf16=self.value_bf16,
+                name="self_attn")
             if lo == 0:
                 src = attn(src, src, pos, ref_self, spatial_shapes,
                            deterministic, query_shapes=spatial_shapes)
@@ -383,7 +396,7 @@ class HAHINeck(nn.Module):
             fused = MSDeformAttention(
                 self.embed_dim, self.num_heads, L, self.num_points,
                 sampling=self.sampling, window_radius=self.window_radius,
-                msda_remat=self.msda_remat,
+                msda_remat=self.msda_remat, value_bf16=self.value_bf16,
                 name="cross_attn")(query, src, qpos, ref_q, spatial_shapes,
                                    deterministic, query_shapes=((Hc, Wc),))
         else:

@@ -72,9 +72,12 @@ def test_compat_delta_vs_offset_reach(monkeypatch):
     v0 = C._converted_variables(tm, exact, img, ch)
 
     from gedepth_tpu.apis.inference import cast_params_bf16
+    from gedepth_tpu.configs import get_config
+    _pm = get_config("gedepth_adaptive_kitti_parity").model
     parity_model = C._build_jax_model(
-        "adaptive", neck_sampling="windowed_compat",
-        neck_window_radius=6, bf16_scope="backbone")
+        "adaptive", neck_sampling=_pm.neck_sampling,
+        neck_window_radius=_pm.neck_window_radius,
+        bf16_scope=_pm.bf16_scope)
 
     table = {}
     parity = {}
@@ -82,9 +85,9 @@ def test_compat_delta_vs_offset_reach(monkeypatch):
         v = _scale_offsets(v0, factor)
         ref = np.asarray(exact.apply(v, img, ch,
                                      method=exact.predict_depth))
-        out = parity_model.apply(cast_params_bf16(v, scope="backbone"),
-                                 img, ch,
-                                 method=parity_model.predict_depth)
+        out = parity_model.apply(
+            cast_params_bf16(v, scope=_pm.bf16_scope), img, ch,
+            method=parity_model.predict_depth)
         parity[factor] = _abs_rel(ref, np.asarray(out))
         for R in (4, 8, 16):
             compat = C._build_jax_model("adaptive",
@@ -114,13 +117,16 @@ def test_compat_delta_vs_offset_reach(monkeypatch):
     # metric-harmless (<1e-2 abs-rel delta; measured ~1e-3 range)
     assert table[(8.0, 8)][0] < 1e-2
 
-    # THE parity config (gedepth_adaptive_kitti_parity: compat R=6 +
-    # bf16_scope='backbone') under the same far-from-init stress: the
-    # COMBINED delta must stay inside the 0.001 released-checkpoint budget
-    # at realistic trained reach (1x and the 4x over-reach; round-5
-    # measured 5.0e-4 / 5.4e-4; only the 8x stress bound exceeds it at
-    # 1.75e-3 — covered by the per-checkpoint compat_delta_px procedure).
-    print(f"parity (R=6 + bf16 backbone) combined deltas: "
+    # THE parity config (gedepth_adaptive_kitti_parity preset, read from
+    # configs so the gate tracks what ships: compat R=5 +
+    # bf16_scope='backbone_head') under the same far-from-init stress:
+    # the COMBINED delta must stay inside the 0.001 released-checkpoint
+    # budget at realistic trained reach (1x and the 4x over-reach;
+    # round-5 measured 5.9e-4 / 7.0e-4; only the 8x stress bound exceeds
+    # it at 2.6e-3 — covered by the per-checkpoint compat_delta_px
+    # procedure).
+    print(f"parity preset (R={_pm.neck_window_radius} + "
+          f"{_pm.bf16_scope}) combined deltas: "
           f"{ {k: round(d, 5) for k, d in parity.items()} }")
     assert parity[1.0] < 1e-3, parity
     assert parity[4.0] < 1e-3, parity
