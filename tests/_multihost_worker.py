@@ -27,6 +27,18 @@ def main():
         from jax._src import distributed
         distributed.global_state.client.wait_at_barrier(
             "gedepth_boot", 600_000)
+        # establish the gloo full mesh NOW, while the processes are
+        # barrier-aligned: gloo's context init (fixed 30 s store
+        # handshake) fires at the FIRST cross-process collective, which
+        # without this warmup happens only after each process's
+        # independent train-step compile — whose duration skew on a
+        # loaded 1-core box chronically exceeded 30 s (r5). A scalar
+        # allgather compiles in ~1 s symmetrically, so both processes
+        # enter the handshake together; the 2-process clique context is
+        # cached and reused by every later collective.
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+        multihost_utils.process_allgather(jnp.zeros((1,), jnp.float32))
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
