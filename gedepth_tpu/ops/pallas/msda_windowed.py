@@ -171,9 +171,16 @@ def _kernel(base8_ref, roff_ref, off_ref, w_ref, vp_ref, out_ref, band,
             # block carries a level axis (size 1 per call) so all levels
             # of one query grid share a single relayout pass; x points
             # occupy sublanes [0, P), y points [P, 2P).
-            tx = off_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
-            ty = off_ref[0, 0, 0, m, 0, pl.ds(P + p, 1), :]
-            wp = w_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
+            if plan.get("flane"):
+                # projection-native layout (h, L, 2P, B, nty, ntx, q):
+                # the q-arg blocks arrive as (1, 1, 2P|P, 1, 1, ntx, 128)
+                tx = off_ref[0, 0, pl.ds(p, 1), 0, 0, m, :]
+                ty = off_ref[0, 0, pl.ds(P + p, 1), 0, 0, m, :]
+                wp = w_ref[0, 0, pl.ds(p, 1), 0, 0, m, :]
+            else:
+                tx = off_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
+                ty = off_ref[0, 0, 0, m, 0, pl.ds(P + p, 1), :]
+                wp = w_ref[0, 0, 0, m, 0, pl.ds(p, 1), :]
             y0f = jnp.floor(ty)
             x0f = jnp.floor(tx)
             fy = ty - y0f
@@ -400,6 +407,205 @@ def _levels_bwd(query_hw, radius, exts, interpret, res, g):
 
 
 msda_windowed_levels.defvjp(_levels_fwd, _levels_bwd)
+
+
+# ---------------------------------------------------------------------------
+# projection-native ("flane") q-arg layout: (h, L, 2P|P, B, nty, ntx, 128)
+# ---------------------------------------------------------------------------
+#
+# The lane relayout in `_prep_lanes` is the single biggest copy cost on the
+# product forward (~7 ms/iter of scrambled 9-D transposes at the 352x1216
+# protocol shape, r5 trace). This layout removes it: the offset/weight
+# Dense projections are computed as dot_general(W^T, q^T) so the projected
+# F axis lands on the MAJOR dims and the query axis lands on lanes — the
+# dot output (F, B, nty*ntx, 128) pure-reshapes into the kernel's block
+# layout. Only the query FEATURES pay one tile-order block permute
+# (32KB-contiguous chunks, ~3x fewer bytes than off+w and block- instead
+# of element-granular). See models/hahi.py `_LaneDense`.
+
+
+def flane_pack(off, w, query_hw, plan):
+    """Raw q-args -> flane layout (reference layout transform, used by the
+    backward for grad repacking and by tests).
+
+    off (B, Nq, h, L, P, 2), w (B, Nq, h, L, P) ->
+    off_f (h, L, 2P, B, nty, ntx, 128) with x points on [0, P) and y on
+    [P, 2P); w_f (h, L, P, B, nty, ntx, 128)."""
+    B, Nq, h, L, P, _ = off.shape
+    Hq, Wq = query_hw
+    TH, TW, nty, ntx = plan["TH"], plan["TW"], plan["nty"], plan["ntx"]
+    off = off.reshape(B, Hq, Wq, h, L, P, 2)
+    w = w.reshape(B, Hq, Wq, h, L, P)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        off = jnp.pad(off, ((0, 0), (0, py), (0, px)) + ((0, 0),) * 4)
+        w = jnp.pad(w, ((0, 0), (0, py), (0, px)) + ((0, 0),) * 3)
+    off_f = off.reshape(B, nty, TH, ntx, TW, h, L, P, 2).transpose(
+        5, 6, 8, 7, 0, 1, 3, 2, 4).reshape(h, L, 2 * P, B, nty, ntx,
+                                           TH * TW)
+    w_f = w.reshape(B, nty, TH, ntx, TW, h, L, P).transpose(
+        5, 6, 7, 0, 1, 3, 2, 4).reshape(h, L, P, B, nty, ntx, TH * TW)
+    return off_f.astype(jnp.float32), w_f.astype(jnp.float32)
+
+
+def flane_unpack(off_f, w_f, query_hw, plan):
+    """Inverse of `flane_pack` (backward-pass helper)."""
+    h, L, P2, B, nty, ntx, Q = off_f.shape
+    P = P2 // 2
+    Hq, Wq = query_hw
+    TH, TW = plan["TH"], plan["TW"]
+    off = off_f.reshape(h, L, 2, P, B, nty, ntx, TH, TW).transpose(
+        4, 5, 7, 6, 8, 0, 1, 3, 2).reshape(
+        B, nty * TH, ntx * TW, h, L, P, 2)
+    w = w_f.reshape(h, L, P, B, nty, ntx, TH, TW).transpose(
+        3, 4, 6, 5, 7, 0, 1, 2).reshape(B, nty * TH, ntx * TW, h, L, P)
+    off = off[:, :Hq, :Wq].reshape(B, Hq * Wq, h, L, P, 2)
+    w = w[:, :Hq, :Wq].reshape(B, Hq * Wq, h, L, P)
+    return off, w
+
+
+def flane_anchors(plans):
+    """Per-level window anchors in flane lane order, as two SMALL arrays
+    whose broadcast-add fuses into the surrounding elementwise chain:
+    (ANX (L, ntx, 128), ANY (L, nty, 128)) — x anchors vary over (j, tx),
+    y anchors over (i, ty); lane q = ty*TW + tx."""
+    p0 = plans[0]
+    TH, TW, nty, ntx = p0["TH"], p0["TW"], p0["nty"], p0["ntx"]
+    anx, any_ = [], []
+    for plan in plans:
+        comb_y = (plan["rel_y"].astype(np.float64)
+                  + plan["res_y"]).reshape(nty, TH).astype(np.float32)
+        comb_x = (plan["rel_x"].astype(np.float64)
+                  + plan["res_x"]).reshape(ntx, TW).astype(np.float32)
+        anx.append(np.tile(comb_x[:, None, :], (1, TH, 1)).reshape(
+            ntx, TH * TW))
+        any_.append(np.repeat(comb_y, TW, axis=1).reshape(nty, TH * TW))
+    return np.stack(anx), np.stack(any_)
+
+
+def _pallas_level_flanes(value, off_f, w_f, lvl, radius, plan,
+                         ext=None, interpret=False):
+    """One (query grid, level) launch from flane q-args (anchors already
+    folded in). Returns RAW tile-layout output (B, nty, h, ntx, 128, d)."""
+    B, Hv, Wv, h, d = value.shape
+    P = w_f.shape[2]
+    plan = dict(plan, P=P, flane=True)
+    nty, ntx = plan["nty"], plan["ntx"]
+    wh, ww, wh8 = plan["wh"], plan["ww"], plan["wh8"]
+
+    ey, ex = ext if ext is not None else (plan["ext_y8"], plan["ext_x8"])
+    vp = prepare_padded_value(value, radius, ey, ex)
+    plan["ext_x8"] = int(vp.shape[3])
+
+    off_spec = pl.BlockSpec(
+        (1, 1, 2 * P, 1, 1, ntx, _Q_LANES),
+        lambda b, i, j, *_: (j, lvl, 0, b, i, 0, 0),
+        memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec(
+        (1, 1, P, 1, 1, ntx, _Q_LANES),
+        lambda b, i, j, *_: (j, lvl, 0, b, i, 0, 0),
+        memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, plan=plan, d=d),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nty, h),
+            in_specs=[off_spec, w_spec,
+                      pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 1, 1, ntx, _Q_LANES, d),
+                lambda b, i, j, *_: (b, i, j, 0, 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    ((2, wh8, plan["ext_x8"], int(vp.shape[-1]))
+                     if plan["db"]
+                     else (wh8, plan["ext_x8"], int(vp.shape[-1]))),
+                    value.dtype),
+                (pltpu.SemaphoreType.DMA((2,)) if plan["db"]
+                 else pltpu.SemaphoreType.DMA),
+                pltpu.VMEM((wh * ww, _Q_LANES), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((B, nty, h, ntx, _Q_LANES, d),
+                                       jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(plan["base8"], jnp.int32),
+      jnp.asarray(plan["roff"], jnp.int32), off_f, w_f, vp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def msda_windowed_levels_flanes(values, off_f, w_f, query_hw, radius,
+                                exts=None, interpret=False):
+    """Multi-level windowed sampling from projection-native flane q-args.
+
+    Same sampling semantics/returns as `msda_windowed_levels`, but off_f /
+    w_f arrive ALREADY in the kernel lane layout (h, L, 2P|P, B, nty,
+    ntx, 128) — see `flane_pack` — with offsets still window-relative
+    (bounded to +-radius level pixels); the per-level window anchors are
+    folded in here. Returns (B, Nq, h, d) summed over levels.
+
+    Backward: grads flow to off_f/w_f (repacked from the raw-layout Pallas
+    backward kernel) and to values (XLA tiled VJP) — the extra relayouts
+    ride the backward only."""
+    return _flanes_fwd_impl(values, off_f, w_f, query_hw, radius, exts,
+                            interpret)
+
+
+def _flanes_fwd_impl(values, off_f, w_f, query_hw, radius, exts,
+                     interpret=False):
+    d = values[0].shape[-1]
+    P = w_f.shape[2]
+    plans = [dict(_plan(query_hw, v.shape[1:3], radius), P=P)
+             for v in values]
+    anx, any_ = flane_anchors(plans)
+    # x points ride sublanes [0, P), y on [P, 2P) — anchor each plane
+    # with its per-(level, tile-axis) table; the broadcasts fuse into the
+    # caller's bounding elementwise chain (tanh/clip).
+    off_a = jnp.concatenate([
+        off_f[:, :, :P] + jnp.asarray(anx)[None, :, None, None, None],
+        off_f[:, :, P:] + jnp.asarray(any_)[None, :, None, None, :, None]],
+        axis=2)
+    out = None
+    for idx, (v, plan) in enumerate(zip(values, plans)):
+        ext = exts[idx] if exts is not None else None
+        term = _pallas_level_flanes(v, off_a, w_f, idx, radius, plan, ext,
+                                    interpret=interpret)
+        out = term if out is None else out + term
+    return _untile_out(out, plans[0], query_hw, d)
+
+
+def _flanes_fwd(values, off_f, w_f, query_hw, radius, exts,
+                interpret=False):
+    return (_flanes_fwd_impl(values, off_f, w_f, query_hw, radius, exts,
+                             interpret),
+            (values, off_f, w_f))
+
+
+def _flanes_bwd(query_hw, radius, exts, interpret, res, g):
+    values, off_f, w_f = res
+    plan0 = _plan(query_hw, values[0].shape[1:3], radius)
+    off, w = flane_unpack(off_f, w_f, query_hw, plan0)
+    dvs, dos, dws = [], [], []
+    for idx, v in enumerate(values):
+        ext = exts[idx] if exts is not None else None
+        o_l, w_l = off[:, :, :, idx], w[:, :, :, idx]
+        do, dw = msda_windowed_level_bwd_offw(v, o_l, w_l, g, query_hw,
+                                              radius, ext,
+                                              interpret=interpret)
+        _, vjp_v = jax.vjp(
+            lambda vv, _o=o_l, _w=w_l: _msda._windowed_level_tiled(
+                vv, _o, _w, query_hw, radius), v)
+        dv, = vjp_v(g)
+        dvs.append(dv)
+        dos.append(do)
+        dws.append(dw)
+    d_off_f, d_w_f = flane_pack(jnp.stack(dos, axis=3),
+                                jnp.stack(dws, axis=3), query_hw, plan0)
+    return tuple(dvs), d_off_f.astype(off_f.dtype), d_w_f.astype(w_f.dtype)
+
+
+msda_windowed_levels_flanes.defvjp(_flanes_fwd, _flanes_bwd)
 
 
 # ---------------------------------------------------------------------------

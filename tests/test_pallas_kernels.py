@@ -260,3 +260,53 @@ def test_msda_windowed_levels_shared_prep_parity_and_grads():
     for a, b in zip(jax.tree.leaves(gl), jax.tree.leaves(gt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_msda_windowed_levels_flanes_parity_and_grads():
+    """Projection-native flane q-arg path == raw-layout product path:
+    forward identical, grads equal the flane_pack of the raw grads."""
+    from gedepth_tpu.ops.pallas.msda_windowed import (
+        _plan, flane_pack, flane_unpack, msda_windowed_levels,
+        msda_windowed_levels_flanes)
+
+    rng = np.random.default_rng(23)
+    B, h, d, P, R = 1, 2, 8, 4, 4
+    Hq, Wq = 16, 40
+    shapes = [(16, 40), (8, 20)]
+    vals = tuple(jnp.asarray(rng.standard_normal((B, H, W, h, d))
+                             .astype(np.float32)) for H, W in shapes)
+    L = len(shapes)
+    off = jnp.asarray(rng.uniform(-R, R, (B, Hq * Wq, h, L, P, 2))
+                      .astype(np.float32))
+    w = jnp.asarray(rng.uniform(0, 1, (B, Hq * Wq, h, L, P))
+                    .astype(np.float32))
+    plan0 = _plan((Hq, Wq), shapes[0], R)
+    off_f, w_f = flane_pack(off, w, (Hq, Wq), plan0)
+
+    # pack/unpack roundtrip is exact (pure permutation)
+    off_r, w_r = flane_unpack(off_f, w_f, (Hq, Wq), plan0)
+    np.testing.assert_array_equal(np.asarray(off_r), np.asarray(off))
+    np.testing.assert_array_equal(np.asarray(w_r), np.asarray(w))
+
+    out_ref = msda_windowed_levels(vals, off, w, (Hq, Wq), R)
+    out_fl = msda_windowed_levels_flanes(vals, off_f, w_f, (Hq, Wq), R)
+    np.testing.assert_allclose(np.asarray(out_fl), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fl(vs, o_, w_):
+        return jnp.sum(msda_windowed_levels_flanes(vs, o_, w_,
+                                                   (Hq, Wq), R) ** 2)
+
+    def loss_raw(vs, o_, w_):
+        return jnp.sum(msda_windowed_levels(vs, o_, w_, (Hq, Wq), R) ** 2)
+
+    gfl = jax.grad(loss_fl, argnums=(0, 1, 2))(vals, off_f, w_f)
+    graw = jax.grad(loss_raw, argnums=(0, 1, 2))(vals, off, w)
+    for a, b in zip(gfl[0], graw[0]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    do_f, dw_f = flane_pack(graw[1], graw[2], (Hq, Wq), plan0)
+    np.testing.assert_allclose(np.asarray(gfl[1]), np.asarray(do_f),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gfl[2]), np.asarray(dw_f),
+                               rtol=1e-4, atol=1e-4)
