@@ -8,9 +8,9 @@ protocol resolution (352x1216) serve batch 1 — batching LOSES throughput
 there (15.99 -> 14.51 img/s b1 -> b2); at <= half resolution batch 2-4
 wins ~1.8x. Precision: bf16=True (full-cast) is the fastest mode
 (abs-rel delta ~2e-3 vs f32); for parity-grade serving use the
-`gedepth_adaptive_kitti_parity` preset (windowed_compat R=6 +
-bf16_scope='backbone', combined delta 5e-4) with
-cast_params_bf16(scope='backbone').
+`gedepth_adaptive_kitti_parity` preset (windowed_compat R=5 +
+bf16_scope='backbone_head', combined delta 5.9e-4) with
+cast_params_bf16(scope='backbone_head').
 """
 from __future__ import annotations
 

@@ -96,6 +96,112 @@ def compat_delta_px(reference_points, offsets, query_shapes, spatial_shapes):
             + offsets)
 
 
+def _flane_mode(query_shapes, spatial_shapes, radius):
+    """Pick the projection-native lane path for windowed/compat sampling.
+
+    Returns 'tpu' (Pallas kernel), 'interpret' (CPU interpreter — tests),
+    or None (raw-layout path). Requires EVERY (query grid, level) pair to
+    be kernel-eligible, since the lane path has no per-level XLA fallback.
+    Env: GEDEPTH_MSDA_FLANE = auto (default) | 0 | interpret."""
+    env = os.environ.get("GEDEPTH_MSDA_FLANE", "auto")
+    if env == "0":
+        return None
+    from gedepth_tpu.ops.pallas.msda_windowed import _plan
+    for q in query_shapes:
+        for v in spatial_shapes:
+            if _plan(tuple(q), tuple(v), radius) is None:
+                return None
+    if env == "interpret":
+        return "interpret"
+    if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm"):
+        return None
+    return "tpu"
+
+
+def _tile_queries(q, grid_hw, plan):
+    """(B, Nq, C) row-major -> (B, Nt, C, Q=128) tile-major with queries
+    on the MINOR axis — the rhs layout the lane projections contract
+    against. The only data movement the lane path pays on the query side:
+    a block permute (TW*C-contiguous chunks) plus a per-tile 2-D feature
+    transpose, ~3x fewer bytes than relayouting off+w downstream."""
+    B, Nq, C = q.shape
+    Hq, Wq = grid_hw
+    TH, TW, nty, ntx = plan["TH"], plan["TW"], plan["nty"], plan["ntx"]
+    q = q.reshape(B, Hq, Wq, C)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        q = jnp.pad(q, ((0, 0), (0, py), (0, px), (0, 0)))
+    return q.reshape(B, nty, TH, ntx, TW, C).transpose(
+        0, 1, 3, 5, 2, 4).reshape(B, nty * ntx, C, TH * TW)
+
+
+def _flane_ref_base(reference_points, grid_hw, centers, spatial_shapes,
+                    plan):
+    """compat mode: (ref - grid_center) * normalizer in flane plane
+    layout (1, L, 2, 1, B', nty, ntx, Q) — the constant part of the
+    reference sampling displacement, broadcast over heads and points."""
+    if reference_points.ndim == 3:
+        ref = reference_points[None]
+    else:
+        ref = reference_points
+    Br = ref.shape[0]
+    L = ref.shape[2]
+    delta_norm = ref - jnp.asarray(centers)[None, :, None, :]
+    norm = np.array([[w_, h_] for (h_, w_) in spatial_shapes], np.float32)
+    base = (delta_norm.astype(jnp.float32)
+            * jnp.asarray(norm)[None, None, :, :])
+    Hq, Wq = grid_hw
+    TH, TW, nty, ntx = plan["TH"], plan["TW"], plan["nty"], plan["ntx"]
+    base = base.reshape(Br, Hq, Wq, L, 2)
+    py, px = nty * TH - Hq, ntx * TW - Wq
+    if py or px:
+        base = jnp.pad(base, ((0, 0), (0, py), (0, px), (0, 0), (0, 0)))
+    base = base.reshape(Br, nty, TH, ntx, TW, L, 2).transpose(
+        5, 6, 0, 1, 3, 2, 4).reshape(L, 2, Br, nty, ntx, TH * TW)
+    return base[None, :, :, None]
+
+
+def _lane_valid_mask(grid_hw, plan):
+    """(nty, ntx, Q) {0,1} — 0 on tile-padding lanes (queries beyond the
+    real grid); metric sums over lanes must exclude them."""
+    Hq, Wq = grid_hw
+    TH, TW, nty, ntx = plan["TH"], plan["TW"], plan["nty"], plan["ntx"]
+    m = np.zeros((nty * TH, ntx * TW), np.float32)
+    m[:Hq, :Wq] = 1.0
+    return m.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3).reshape(
+        nty, ntx, TH * TW)
+
+
+class _LaneDense(nn.Module):
+    """Dense projection emitting (F, B, Nt, Q) from tile-ordered query
+    features (B, Nt, C, Q): dot_general(kernel^T-contraction, q) lands the
+    projected feature axis on MAJOR dims and queries on lanes, so the
+    output pure-reshapes into the windowed kernel's flane block layout —
+    no scrambled q-arg relayout (r5 trace: ~7 ms/iter at protocol res).
+    Parameter tree is IDENTICAL to nn.Dense (kernel (C, F), bias (F,)):
+    converted reference checkpoints load unchanged. `col_perm` statically
+    reorders the OUTPUT features (e.g. (h,L,P,2) -> (h,L,2,P) so x/y
+    planes land on sublane blocks [0,P) / [P,2P))."""
+    features: int
+    kernel_init: object = xavier_uniform_init
+    bias_init: object = nn.initializers.zeros
+    col_perm: tuple = None
+
+    @nn.compact
+    def __call__(self, q_tiles):
+        C = q_tiles.shape[2]
+        kernel = self.param("kernel", self.kernel_init, (C, self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        if self.col_perm is not None:
+            perm = np.asarray(self.col_perm)
+            kernel = kernel[:, perm]
+            bias = bias[perm]
+        out = jax.lax.dot_general(
+            kernel.astype(q_tiles.dtype), q_tiles,
+            dimension_numbers=(((0,), (2,)), ((), ())))
+        return out + bias[:, None, None, None].astype(out.dtype)
+
+
 class MSDeformAttention(nn.Module):
     """Deformable attention layer (query side); mmcv-compatible params.
 
@@ -155,23 +261,31 @@ class MSDeformAttention(nn.Module):
         head_dim = C // h
         windowed = self.sampling == "windowed"
         compat = self.sampling == "windowed_compat"
+        flane = None
+        if windowed or compat:
+            assert query_shapes is not None, \
+                "windowed sampling needs the query grid(s)"
+            flane = _flane_mode(query_shapes, spatial_shapes,
+                                self.window_radius)
 
         value_proj = nn.Dense(C, kernel_init=xavier_uniform_init,
                               name="value_proj")(value)
 
         bias_scale = self.window_radius / P if windowed else 1.0
-        offsets = nn.Dense(h * L * P * 2,
-                           kernel_init=nn.initializers.zeros,
-                           bias_init=_msda_offset_bias_init(
-                               h, L, P, scale=bias_scale),
-                           name="sampling_offsets")(query)
-        offsets = offsets.reshape(B, Nq, h, L, P, 2)
+        if flane is None:
+            offsets = nn.Dense(h * L * P * 2,
+                               kernel_init=nn.initializers.zeros,
+                               bias_init=_msda_offset_bias_init(
+                                   h, L, P, scale=bias_scale),
+                               name="sampling_offsets")(query)
+            offsets = offsets.reshape(B, Nq, h, L, P, 2)
 
-        weights = nn.Dense(h * L * P, kernel_init=nn.initializers.zeros,
-                           bias_init=nn.initializers.zeros,
-                           name="attention_weights")(query)
-        weights = jax.nn.softmax(weights.reshape(B, Nq, h, L * P), axis=-1)
-        weights = weights.reshape(B, Nq, h, L, P)
+            weights = nn.Dense(h * L * P, kernel_init=nn.initializers.zeros,
+                               bias_init=nn.initializers.zeros,
+                               name="attention_weights")(query)
+            weights = jax.nn.softmax(
+                weights.reshape(B, Nq, h, L * P), axis=-1)
+            weights = weights.reshape(B, Nq, h, L, P)
 
         # split flattened value into per-level maps
         levels = []
@@ -183,11 +297,97 @@ class MSDeformAttention(nn.Module):
             start += n
 
         if windowed or compat:
-            assert query_shapes is not None, \
-                "windowed sampling needs the query grid(s)"
             if self.value_bf16:
                 levels = [l.astype(jnp.bfloat16) for l in levels]
             R = float(self.window_radius)
+            if flane is not None:
+                # Projection-native lane path: queries are block-permuted
+                # into tile order ONCE, the offset/weight projections emit
+                # the kernel's flane block layout directly (see _LaneDense),
+                # and the per-query-grid scrambled q-arg relayout of the raw
+                # path (~7 ms/iter at protocol res, r5 trace) disappears.
+                from gedepth_tpu.ops.pallas.msda_windowed import (
+                    _plan, msda_windowed_levels_flanes)
+                interpret = flane == "interpret"
+                # output features (h, L, P, 2) -> (h, L, 2, P): x points on
+                # sublanes [0, P), y on [P, 2P) per (head, level) plane
+                off_perm = tuple(
+                    np.arange(h * L * P * 2).reshape(h, L, P, 2)
+                    .transpose(0, 1, 3, 2).reshape(-1).tolist())
+                off_proj = _LaneDense(
+                    h * L * P * 2, kernel_init=nn.initializers.zeros,
+                    bias_init=_msda_offset_bias_init(
+                        h, L, P, scale=bias_scale),
+                    col_perm=off_perm, name="sampling_offsets")
+                w_proj = _LaneDense(
+                    h * L * P, kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    name="attention_weights")
+                exts = shared_value_exts(tuple(query_shapes),
+                                         tuple(spatial_shapes),
+                                         self.window_radius)
+                sample = msda_windowed_levels_flanes
+                if self.msda_remat:
+                    sample = jax.checkpoint(
+                        msda_windowed_levels_flanes,
+                        static_argnums=(3, 4, 5, 6))
+                levels_t = tuple(levels)
+                outs = []
+                start = 0
+                clamp_num = 0.0
+                for (Hq, Wq) in query_shapes:
+                    n = Hq * Wq
+                    plan = _plan((Hq, Wq), spatial_shapes[0],
+                                 self.window_radius)
+                    nty, ntx = plan["nty"], plan["ntx"]
+                    Ql = plan["TH"] * plan["TW"]
+                    q_t = _tile_queries(query[:, start:start + n],
+                                        (Hq, Wq), plan)
+                    off_f = off_proj(q_t).reshape(
+                        h, L, 2 * P, B, nty, ntx, Ql)
+                    w_f = w_proj(q_t)
+                    w_f = jax.nn.softmax(
+                        w_f.reshape(h, L * P, B, nty, ntx, Ql),
+                        axis=1).reshape(h, L, P, B, nty, ntx, Ql)
+                    off_f = off_f.astype(jnp.float32)
+                    w_f = w_f.astype(jnp.float32)
+                    if compat:
+                        if reference_points.ndim == 3:
+                            ref_g = reference_points[start:start + n]
+                        else:
+                            ref_g = reference_points[:, start:start + n]
+                        base = _flane_ref_base(
+                            ref_g, (Hq, Wq), _grid_centers([(Hq, Wq)]),
+                            spatial_shapes, plan)
+                        delta = off_f.reshape(
+                            h, L, 2, P, B, nty, ntx, Ql) + base
+                        clamped = (jnp.abs(delta) > R).any(axis=2)
+                        valid = jnp.asarray(
+                            _lane_valid_mask((Hq, Wq), plan))
+                        clamp_num = clamp_num + jnp.sum(
+                            w_f * clamped
+                            * valid[None, None, None, None])
+                        off_f = jnp.clip(delta, -R, R).reshape(
+                            h, L, 2 * P, B, nty, ntx, Ql)
+                    else:
+                        off_f = R * jnp.tanh(off_f / R)
+                    term = sample(levels_t, off_f, w_f, (Hq, Wq),
+                                  self.window_radius, exts, interpret)
+                    outs.append(term.astype(levels_t[0].dtype)
+                                .reshape(B, n, C))
+                    start += n
+                assert start == Nq
+                if compat:
+                    self.sow("intermediates", "compat_clamp_mass",
+                             clamp_num / (B * Nq * h))
+                out = (jnp.concatenate(outs, axis=1) if len(outs) > 1
+                       else outs[0])
+                out = nn.Dense(C, kernel_init=xavier_uniform_init,
+                               name="output_proj")(out)
+                if self.dropout > 0:
+                    out = nn.Dropout(self.dropout)(
+                        out, deterministic=deterministic)
+                return identity + out
             if compat:
                 delta = compat_delta_px(reference_points, offsets,
                                         query_shapes, spatial_shapes)
